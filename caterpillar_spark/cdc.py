@@ -1,0 +1,118 @@
+"""apply_changes — the north-star entry point: ordered change-event batch
+(or chunked log replay) -> LSN dedup -> bucketed MERGE upsert -> lineage.
+
+Pipeline per batch (all JVM-side DataFrame ops, zero per-row Python):
+
+1. per-source-partition lineage counts (min/max lsn, rows) — the Spark
+   version of the reference's per-task record accounting
+   (``internal/pkg/pipeline/task/task.go:95-108``);
+2. last-writer-wins dedup by lsn (hash agg ``max_by``; delete events kept
+   so the MERGE can tombstone them);
+3. ``SnapshotTable.merge`` — bucket-pruned upsert, atomic snapshot commit
+   carrying the offset ledger (exactly-once) and the lineage rows.
+
+Replay (``replay_chunks``) walks an ordered directory of log segments and
+is resumable: a chunk whose LSN range is already in the table's applied
+ledger is skipped — the engine-level equivalent of the reference's Kafka
+group-mode resume-from-committed-offset
+(``internal/pkg/pipeline/task/kafka/kafka.go:203-301``), upgraded to
+exactly-once because offsets and data commit atomically.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from caterpillar_spark.operators.dedup import last_writer_wins
+from caterpillar_spark.sinks.snapshot_table import SnapshotTable, _covered
+
+
+@dataclass
+class BatchResult:
+    batch_id: int
+    snapshot_version: int  # -1 => skipped (already applied)
+    offset_start: int
+    offset_end: int
+    rows_in: int
+    seconds: float
+
+
+def _lineage_counts(events: DataFrame) -> list[tuple[int, int]]:
+    if "source_partition" not in events.columns:
+        return [(-1, events.count())]
+    rows = (
+        events.groupBy("source_partition").agg(F.count("*").alias("n")).collect()
+    )
+    return [(int(r["source_partition"]), int(r["n"])) for r in rows]
+
+
+def apply_changes(
+    events: DataFrame,
+    table: SnapshotTable,
+    batch_id: int,
+    stream_id: str = "default",
+    offset_range: tuple[int, int] | None = None,
+) -> BatchResult:
+    """Apply one ordered change-event batch to the table, exactly once."""
+    t0 = time.time()
+    if offset_range is None:
+        agg = events.agg(
+            F.min("lsn").alias("lo"), F.max("lsn").alias("hi"), F.count("*").alias("n")
+        ).collect()[0]
+        if agg["n"] == 0:
+            return BatchResult(batch_id, -1, 0, -1, 0, time.time() - t0)
+        offset_range, rows_in = (int(agg["lo"]), int(agg["hi"])), int(agg["n"])
+    else:
+        rows_in = -1
+
+    if _covered(table.applied_ranges(stream_id), *offset_range):
+        return BatchResult(
+            batch_id, -1, offset_range[0], offset_range[1], 0, time.time() - t0
+        )
+
+    counts = _lineage_counts(events)
+    if rows_in < 0:
+        rows_in = sum(n for _, n in counts)
+    deduped = last_writer_wins(
+        events.drop("source_partition")
+        if "source_partition" in events.columns
+        else events,
+        key=("conv_id", "turn_idx"),
+        lsn_col="lsn",
+    )
+    version = table.merge(
+        deduped,
+        batch_id=batch_id,
+        offset_range=offset_range,
+        partition_counts=counts,
+        stream_id=stream_id,
+        t_start=t0,
+    )
+    return BatchResult(
+        batch_id, version, offset_range[0], offset_range[1], rows_in, time.time() - t0
+    )
+
+
+def replay_chunks(
+    spark: SparkSession,
+    chunk_paths: list[str],
+    table: SnapshotTable,
+    stream_id: str = "default",
+) -> list[BatchResult]:
+    """Replay an ordered on-disk change log chunk by chunk, resumably.
+
+    Already-applied chunks are skipped via the snapshot ledger, so calling
+    this after a crash (or calling it twice) converges to the same table
+    state — the replay-certification invariant of BASELINE.json.
+    """
+    results = []
+    for i, path in enumerate(sorted(chunk_paths)):
+        events = spark.read.parquet(path)
+        results.append(
+            apply_changes(events, table, batch_id=i, stream_id=stream_id)
+        )
+    return results

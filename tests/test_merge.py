@@ -1,0 +1,151 @@
+"""SnapshotTable merge semantics: upsert, delete, idempotent replay,
+schema evolution, compaction, lineage manifest."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from caterpillar_spark.cdc import apply_changes, replay_chunks
+from caterpillar_spark.generator import (
+    GeneratorSpec,
+    change_events,
+    expected_final_state,
+    write_changelog_chunks,
+)
+from caterpillar_spark.sinks.snapshot_table import SnapshotTable
+
+PAYLOAD = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+SPEC = GeneratorSpec(n_events=8_000, n_convs=40, turns_per_conv=10, seed=11)
+
+
+def _final_state_canon(df):
+    rows = df.select("conv_id", "turn_idx", "role", "text", "tool", "ts").collect()
+    return sorted(tuple(r) for r in rows)
+
+
+def _expected_canon(spark, spec):
+    ev = change_events(spark, spec)
+    exp = expected_final_state(ev)
+    return sorted(
+        tuple(r)
+        for r in exp.select("conv_id", "turn_idx", "role", "text", "tool", "ts").collect()
+    )
+
+
+def test_single_batch_replay_matches_oracle(spark, tmp_path):
+    tbl = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=16).create(PAYLOAD)
+    ev = change_events(spark, SPEC)
+    res = apply_changes(ev, tbl, batch_id=0)
+    assert res.snapshot_version == 1
+    assert _final_state_canon(tbl.read()) == _expected_canon(spark, SPEC)
+
+
+def test_chunked_replay_matches_oracle(spark, tmp_path):
+    tbl = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=16).create(PAYLOAD)
+    chunks = write_changelog_chunks(spark, SPEC, str(tmp_path / "log"), n_chunks=5)
+    results = replay_chunks(spark, chunks, tbl)
+    assert [r.snapshot_version for r in results] == [1, 2, 3, 4, 5]
+    assert _final_state_canon(tbl.read()) == _expected_canon(spark, SPEC)
+
+
+def test_replay_idempotent(spark, tmp_path):
+    tbl = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=16).create(PAYLOAD)
+    chunks = write_changelog_chunks(spark, SPEC, str(tmp_path / "log"), n_chunks=4)
+    replay_chunks(spark, chunks, tbl)
+    state1 = _final_state_canon(tbl.read())
+    v1 = tbl.current_version()
+    # full re-replay: every chunk must be skipped, state unchanged
+    again = replay_chunks(spark, chunks, tbl)
+    assert all(r.snapshot_version == -1 for r in again)
+    assert tbl.current_version() == v1
+    assert _final_state_canon(tbl.read()) == state1
+
+
+def test_resume_from_partial_replay(spark, tmp_path):
+    """Crash mid-replay, then re-run from the top: applied chunks skip,
+    remaining apply; final state byte-equal to the one-shot replay."""
+    chunks_dir = str(tmp_path / "log")
+    chunks = write_changelog_chunks(spark, SPEC, chunks_dir, n_chunks=6)
+    tbl = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=16).create(PAYLOAD)
+    replay_chunks(spark, chunks[:3], tbl)  # "crash" after 3 chunks
+    results = replay_chunks(spark, chunks, tbl)  # restart from the top
+    assert [r.snapshot_version for r in results[:3]] == [-1, -1, -1]
+    assert all(r.snapshot_version > 0 for r in results[3:])
+    assert _final_state_canon(tbl.read()) == _expected_canon(spark, SPEC)
+
+
+def test_delete_then_old_replay_does_not_resurrect(spark, tmp_path):
+    """Tombstones + ledger: re-applying an old chunk after a later delete
+    must not resurrect the row."""
+    tbl = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=4).create(PAYLOAD)
+    chunks = write_changelog_chunks(spark, SPEC, str(tmp_path / "log"), n_chunks=4)
+    replay_chunks(spark, chunks, tbl)
+    state = _final_state_canon(tbl.read())
+    # re-apply chunk 0 (older revisions incl. rows later deleted)
+    replay_chunks(spark, chunks[:1], tbl)
+    assert _final_state_canon(tbl.read()) == state
+
+
+def test_schema_evolution_tool_arrives_midstream(spark, tmp_path):
+    """Early chunks lack `tool`; it appears mid-stream. Table starts
+    without it, evolves additively, old rows read as null."""
+    start_schema = T.StructType([f for f in PAYLOAD.fields if f.name != "tool"])
+    tbl = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=8).create(start_schema)
+    chunks = write_changelog_chunks(
+        spark, SPEC, str(tmp_path / "log"), n_chunks=4, drop_tool_before_chunk=2
+    )
+    replay_chunks(spark, chunks, tbl)
+    assert "tool" in [f.name for f in tbl.payload_schema().fields]
+    got = tbl.read()
+    assert "tool" in got.columns
+    # oracle: events with tool column nulled for the early chunk range
+    sz = (SPEC.n_events + 3) // 4
+    ev = change_events(spark, SPEC).withColumn(
+        "tool",
+        F.when(F.col("lsn") < 2 * sz, F.lit(None).cast("string")).otherwise(
+            F.col("tool")
+        ),
+    )
+    exp = expected_final_state(ev)
+    assert _final_state_canon(got) == sorted(
+        tuple(r)
+        for r in exp.select(
+            "conv_id", "turn_idx", "role", "text", "tool", "ts"
+        ).collect()
+    )
+
+
+def test_compact_preserves_state_and_drops_tombstones(spark, tmp_path):
+    tbl = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=8).create(PAYLOAD)
+    chunks = write_changelog_chunks(spark, SPEC, str(tmp_path / "log"), n_chunks=3)
+    replay_chunks(spark, chunks, tbl)
+    state = _final_state_canon(tbl.read())
+    n_tomb = tbl.read(include_deleted=True).filter(F.col("_deleted")).count()
+    assert n_tomb > 0
+    tbl.compact(drop_tombstones=True)
+    assert _final_state_canon(tbl.read()) == state
+    assert tbl.read(include_deleted=True).filter(F.col("_deleted")).count() == 0
+
+
+def test_manifest_lineage(spark, tmp_path):
+    tbl = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=8).create(PAYLOAD)
+    chunks = write_changelog_chunks(spark, SPEC, str(tmp_path / "log"), n_chunks=3)
+    replay_chunks(spark, chunks, tbl)
+    m = tbl.manifest()
+    # per-batch, per-source-partition rows covering the whole LSN space
+    assert m.agg(F.sum("rows_applied")).collect()[0][0] == SPEC.n_events
+    assert m.select("batch_id").distinct().count() == 3
+    assert m.select("partition").distinct().count() == SPEC.n_source_partitions
+    lo, hi = m.agg(F.min("offset_start"), F.max("offset_end")).collect()[0]
+    assert (lo, hi) == (0, SPEC.n_events - 1)
