@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship CDC reconstruction on sf0.001.
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2 (+ the training-data ops); DuckDB twins where SQL-expressible,
+rows-only otherwise.
+
+Column names are aliased identically on both sides (the driver sorts
+columns by name and value-hashes them).
 """
 
 from __future__ import annotations
@@ -12,27 +14,625 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STOP_SQL = "('the','a','and','of','to','in','is','it')"
+H64_SPARK = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")  # noqa: E731
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship: CDC last-writer-wins reconstruction over the events stream
+# (event_id = LSN, (user_id, event_type) = key) — the engine's spine:
+# scan -> hash-agg max_by dedup -> stable sort.
+# --------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    ev = _t(spark, "/root/testdata/sf0.001", "events")
+    latest = (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.max_by(F.struct("value", "ts", "props"), F.col("event_id")).alias("w"),
+            F.max("event_id").alias("last_event_id"),
+        )
+        .select(
+            "user_id",
+            "event_type",
+            "last_event_id",
+            F.col("w.value").alias("value"),
+            F.col("w.ts").alias("ts"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+    return latest
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+def q_cdc_lww_latest(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.max("event_id").alias("last_event_id"),
+            F.max_by("value", F.col("event_id")).alias("last_value"),
+        )
+    )
+
+
+def q_cdc_lww_window(spark, sf_dir):
+    from caterpillar_spark.operators.dedup import last_writer_wins_window
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "event_id", "value")
+    return last_writer_wins_window(
+        ev, key=("user_id", "event_type"), lsn_col="event_id"
+    ).select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+    )
+
+
+def q_cdc_lww_salted(spark, sf_dir):
+    from caterpillar_spark.operators.dedup import last_writer_wins_salted
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "event_id", "value")
+    return last_writer_wins_salted(
+        ev, key=("user_id", "event_type"), lsn_col="event_id", n_salts=8
+    ).select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+    )
+
+
+def q_filter_project(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        # floor-scaled int, not round(): Spark rounds the decimal string
+        # repr, DuckDB the binary double — they differ on .xx5 boundaries
+        F.floor(F.col("value") * 1.1 * 100 + 0.5).cast("long").alias("value_taxed_x100"),
+    )
+
+
+def q_json_project(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+    )
+
+
+def q_flatten(spark, sf_dir):
+    from caterpillar_spark.operators.text import flatten
+
+    ev = _t(spark, sf_dir, "events")
+    nested = ev.select(
+        "event_id",
+        F.struct(
+            F.col("user_id").alias("id"),
+            F.struct(F.col("event_type").alias("type")).alias("meta"),
+        ).alias("u"),
+    )
+    return flatten(nested)  # -> event_id, u_id, u_meta_type
+
+
+def q_split_explode(spark, sf_dir):
+    from caterpillar_spark.operators.text import split_explode
+
+    docs = _t(spark, sf_dir, "documents")
+    words = split_explode(docs.select("text"), "text", " ", out="word")
+    return (
+        words.groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(50)
+    )
+
+
+def q_regex_replace(spark, sf_dir):
+    from caterpillar_spark.operators.text import regex_replace
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    red = regex_replace(docs, "text", "[aeiou]", "_")
+    return red.select("doc_id", F.md5("text").alias("redacted_md5"))
+
+
+def q_concat_batch(spark, sf_dir):
+    from caterpillar_spark.operators.text import concat_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return concat_group(docs, ["lang"], "doc_id", "source", "|")
+
+
+def q_hash_functions(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+    )
+
+
+def q_sample_head(spark, sf_dir):
+    from caterpillar_spark.operators.sampling import head
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    return head(ev, "event_id", 100)
+
+
+def q_sample_tail(spark, sf_dir):
+    from caterpillar_spark.operators.sampling import tail
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    return tail(ev, "event_id", 50)
+
+
+def q_sample_nth(spark, sf_dir):
+    from caterpillar_spark.operators.sampling import nth_keyed
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    return nth_keyed(ev, "event_id", 10)
+
+
+def q_union(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"), F.lit("customer").alias("src")
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"), F.lit("supplier").alias("src")
+    )
+    return cust.unionByName(supp)
+
+
+def q_agg_groupby(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_window_running(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return ev.select(
+        "event_id", "user_id", F.row_number().over(w).alias("run_cnt")
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    from caterpillar_spark.operators.docs import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    from caterpillar_spark.operators.docs import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+def q_minhash_signature(spark, sf_dir):
+    from caterpillar_spark.operators.docs import minhash_signature
+
+    return minhash_signature(_t(spark, sf_dir, "documents"), num_hashes=4)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from caterpillar_spark.operators.docs import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"), bits=16)
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from caterpillar_spark.operators.docs import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.3, n=3
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    from caterpillar_spark.operators.docs import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+def q_quality_score(spark, sf_dir):
+    from caterpillar_spark.operators.docs import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+def q_token_count(spark, sf_dir):
+    from caterpillar_spark.operators.docs import token_count
+
+    return token_count(_t(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark, sf_dir):
+    from caterpillar_spark.operators.docs import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    from caterpillar_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk(emb, queries, k=5)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    from caterpillar_spark.operators.similarity import lsh_bucketed_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return lsh_bucketed_topk(emb, queries, k=5, n_planes=4, dim=64)
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    from caterpillar_spark.operators.similarity import cosine_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(emb, threshold=0.2, n_planes=4, dim=64)
+
+
+def q_hmac_sha256(spark, sf_dir):
+    from caterpillar_spark.functions import hmac_sha256
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", hmac_sha256(F.lit("secret-key"), F.col("text")).alias("mac")
+    )
+
+
+def q_sample_percent(spark, sf_dir):
+    from caterpillar_spark.operators.sampling import percent
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    return percent(ev, 10.0, seed=42)
+
+
+def q_media_features(spark, sf_dir):
+    from caterpillar_spark.operators.multimodal import extract_features, synth_media
+
+    return extract_features(synth_media(spark, 128))
+
+
+def q_cdc_replay_final_state(spark, sf_dir):
+    """Full engine path on a generated change stream (non-SQL: snapshot
+    table on disk; rows-only check)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from caterpillar_spark.cdc import replay_chunks
+    from caterpillar_spark.generator import GeneratorSpec, write_changelog_chunks
+    from caterpillar_spark.sinks import SnapshotTable
+
+    spec = GeneratorSpec(n_events=20_000, n_convs=100, turns_per_conv=10, seed=42)
+    work = tempfile.mkdtemp(prefix="cdc_entry_")
+    chunks = write_changelog_chunks(spark, spec, f"{work}/log", n_chunks=4)
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("tool", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    tbl = SnapshotTable(spark, f"{work}/table", n_buckets=16).create(schema)
+    replay_chunks(spark, chunks, tbl)
+    return tbl.read().orderBy("conv_id", "turn_idx")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "cdc_lww_latest": q_cdc_lww_latest,
+        "cdc_lww_window": q_cdc_lww_window,
+        "cdc_lww_salted": q_cdc_lww_salted,
+        "cdc_replay_final_state": q_cdc_replay_final_state,
+        "filter_project": q_filter_project,
+        "json_project": q_json_project,
+        "flatten": q_flatten,
+        "split_explode": q_split_explode,
+        "regex_replace": q_regex_replace,
+        "concat_batch": q_concat_batch,
+        "hash_functions": q_hash_functions,
+        "hmac_sha256": q_hmac_sha256,
+        "sample_head": q_sample_head,
+        "sample_tail": q_sample_tail,
+        "sample_nth": q_sample_nth,
+        "sample_percent": q_sample_percent,
+        "union": q_union,
+        "agg_groupby": q_agg_groupby,
+        "window_running": q_window_running,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signature": q_minhash_signature,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "token_count": q_token_count,
+        "fingerprint": q_fingerprint,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "media_features": q_media_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+_H64 = "CAST('0x' || substring(md5({x}), 1, 15) AS BIGINT)"
+
+
+def _minhash_cte(num_hashes: int) -> str:
+    mins = ",\n      ".join(
+        f"min({_H64.format(x=f'''('{i}:' || shingle)''')}) AS h{i}"
+        for i in range(num_hashes)
+    )
+    return f"""
+    WITH w AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(ws[i:i+2], ' ') AS shingle
+      FROM w, unnest(range(1, greatest(len(ws) - 2, 1) + 1)) AS t(i)
+    ), sig AS (
+      SELECT doc_id,
+      {mins}
+      FROM sh GROUP BY doc_id
+    )"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    lww = """
+      SELECT user_id, event_type,
+             max(event_id) AS last_event_id,
+             max_by(value, event_id) AS last_value
+      FROM events GROUP BY user_id, event_type
     """
-    return {}
+    return {
+        "cdc_lww_latest": lww,
+        "cdc_lww_window": lww,
+        "cdc_lww_salted": lww,
+        "filter_project": """
+          SELECT event_id, user_id,
+                 CAST(floor(value * 1.1 * 100 + 0.5) AS BIGINT) AS value_taxed_x100
+          FROM events WHERE event_type = 'purchase'
+        """,
+        "json_project": """
+          SELECT event_id,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+          FROM events
+        """,
+        "flatten": """
+          SELECT event_id, user_id AS u_id, event_type AS u_meta_type
+          FROM events
+        """,
+        "split_explode": """
+          SELECT word, count(*) AS cnt FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents
+          ) GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 50
+        """,
+        "regex_replace": """
+          SELECT doc_id,
+                 md5(regexp_replace(text, '[aeiou]', '_', 'g')) AS redacted_md5
+          FROM documents
+        """,
+        "concat_batch": """
+          SELECT lang, string_agg(source, '|' ORDER BY doc_id) AS joined
+          FROM documents GROUP BY lang
+        """,
+        "hash_functions": """
+          SELECT doc_id, md5(text) AS text_md5, sha256(text) AS text_sha256
+          FROM documents
+        """,
+        "sample_head": """
+          SELECT event_id, user_id, event_type FROM events
+          ORDER BY event_id ASC LIMIT 100
+        """,
+        "sample_tail": """
+          SELECT * FROM (
+            SELECT event_id, user_id, event_type FROM events
+            ORDER BY event_id DESC LIMIT 50
+          ) ORDER BY event_id ASC
+        """,
+        "sample_nth": """
+          SELECT event_id, user_id FROM events WHERE event_id % 10 = 0
+        """,
+        "union": """
+          SELECT c_name AS name, 'customer' AS src FROM customer
+          UNION ALL
+          SELECT s_name AS name, 'supplier' AS src FROM supplier
+        """,
+        "agg_groupby": """
+          SELECT l_returnflag, l_linestatus,
+                 round(sum(l_quantity), 2) AS sum_qty,
+                 round(sum(l_extendedprice), 2) AS sum_base_price,
+                 round(avg(l_discount), 4) AS avg_disc,
+                 count(*) AS count_order
+          FROM lineitem
+          WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+          GROUP BY l_returnflag, l_linestatus
+        """,
+        "window_running": """
+          SELECT event_id, user_id,
+                 CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+                      AS INTEGER) AS run_cnt
+          FROM events
+        """,
+        "dedup_exact": """
+          SELECT md5(text) AS content_md5,
+                 min(doc_id) AS rep_id,
+                 count(*) AS n_dupes
+          FROM documents GROUP BY md5(text)
+        """,
+        "minhash_signature": _minhash_cte(4) + " SELECT * FROM sig",
+        "dedup_minhash_lsh": _minhash_cte(8)
+        + """
+        , banded AS (
+          SELECT doc_id AS id, b.band_idx,
+                 CASE b.band_idx
+                   WHEN 0 THEN h0::VARCHAR || '_' || h1::VARCHAR
+                   WHEN 1 THEN h2::VARCHAR || '_' || h3::VARCHAR
+                   WHEN 2 THEN h4::VARCHAR || '_' || h5::VARCHAR
+                   ELSE        h6::VARCHAR || '_' || h7::VARCHAR
+                 END AS band_key
+          FROM sig, unnest(range(0, 4)) AS b(band_idx)
+        )
+        SELECT DISTINCT l.id AS id_a, r.id AS id_b
+        FROM banded l JOIN banded r
+          ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+         AND l.id < r.id
+        """,
+        "dedup_simhash": _simhash_sql(16),
+        "dedup_ngram_jaccard": f"""
+          WITH w AS (
+            SELECT doc_id, lang, string_split(trim(text), ' ') AS ws FROM documents
+          ), g AS (
+            SELECT DISTINCT doc_id, lang,
+                   array_to_string(ws[i:i+2], ' ') AS gram
+            FROM w, unnest(range(1, greatest(len(ws) - 2, 1) + 1)) AS t(i)
+          ), sizes AS (
+            SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id
+          ), inter AS (
+            SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS i
+            FROM g l JOIN g r
+              ON l.lang = r.lang AND l.gram = r.gram AND l.doc_id < r.doc_id
+            GROUP BY l.doc_id, r.doc_id
+          )
+          SELECT id_a, id_b,
+                 round(i / (sa.sz + sb.sz - i), 4) AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.3
+        """,
+        "lang_id": f"""
+          WITH w AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+          ), s AS (
+            SELECT doc_id,
+                   len(list_filter(ws, x -> lower(x) IN {STOP_SQL}))
+                     / greatest(len(ws), 1) AS ratio
+            FROM w
+          )
+          SELECT doc_id, round(ratio, 4) AS stopword_ratio,
+                 CASE WHEN ratio > 0.05 THEN 'en' ELSE 'other' END AS lang_pred
+          FROM s
+        """,
+        "quality_score": f"""
+          WITH w AS (
+            SELECT doc_id, text, string_split(trim(text), ' ') AS ws FROM documents
+          ), f AS (
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(ws) AS n_words,
+                   length(text) / greatest(len(ws), 1) AS awl,
+                   len(list_filter(ws, x -> lower(x) IN {STOP_SQL}))
+                     / greatest(len(ws), 1) AS sr,
+                   length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                     AS n_punct
+            FROM w
+          )
+          SELECT doc_id,
+                 CAST(n_chars AS INTEGER) AS n_chars,
+                 CAST(n_words AS INTEGER) AS n_words,
+                 round(awl, 4) AS avg_word_len,
+                 round(sr, 4) AS stopword_ratio,
+                 CAST(n_punct AS INTEGER) AS n_punct,
+                 CAST(floor((least(n_words / 100.0, 1.0) * 0.4
+                       + least(sr * 10, 1.0) * 0.3
+                       + CASE WHEN awl >= 3 AND awl <= 8 THEN 0.3 ELSE 0.0 END)
+                       * 10000 + 0.5) AS BIGINT) AS quality_x1e4
+          FROM f
+        """,
+        "token_count": """
+          SELECT doc_id,
+                 CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS ws_tokens,
+                 CAST(len(regexp_extract_all(text,
+                      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS re_tokens
+          FROM documents
+        """,
+        "fingerprint": f"""
+          WITH w AS (
+            SELECT doc_id,
+                   list_transform(string_split(trim(text), ' '),
+                                  x -> {_H64.format(x='x')} % 1000003) AS hs
+            FROM documents
+          )
+          SELECT doc_id,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+                             (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+          FROM w
+        """,
+        "ann_cosine_topk": """
+          WITH q AS (
+            SELECT vec_id AS query_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+            FROM embeddings WHERE vec_id < 5
+          ), c AS (
+            SELECT vec_id AS neighbor_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+            FROM embeddings
+          ), scored AS (
+            SELECT query_id, neighbor_id,
+                   round(list_dot_product(qv, cv)
+                         / (sqrt(list_dot_product(qv, qv))
+                            * sqrt(list_dot_product(cv, cv))), 6) AS cos_sim
+            FROM c, q WHERE neighbor_id <> query_id
+          )
+          SELECT query_id, neighbor_id, cos_sim,
+                 CAST(rank AS INTEGER) AS rank
+          FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+            ) AS rank FROM scored
+          ) WHERE rank <= 5
+        """,
+        # rows-only (non-SQL-expressible or non-deterministic-by-design):
+        # cdc_replay_final_state, hmac_sha256, sample_percent,
+        # ann_lsh_topk, dedup_embedding_cosine, media_features
+    }
+
+
+def _simhash_sql(bits: int) -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    terms = " + ".join(f"CASE WHEN v{b} > 0 THEN {2**b} ELSE 0 END" for b in range(bits))
+    return f"""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents
+      ), h AS (
+        SELECT doc_id, {_H64.format(x='tok')} AS th FROM toks
+      ), v AS (
+        SELECT doc_id, {votes} FROM h GROUP BY doc_id
+      )
+      SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM v
+    """

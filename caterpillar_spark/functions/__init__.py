@@ -1,0 +1,88 @@
+"""Scalar function library — Spark equivalents of the reference's jq custom
+functions (``internal/pkg/jq/jq.go:105-115``, ``crypto.go``, ``shuffle.go``)
+plus the shared deterministic hash used by the dedup/LSH operators.
+
+Everything here is a Column expression (JVM-side, codegen) except the HMAC
+family, which has no Spark builtin and uses a vectorized pandas UDF over
+the stdlib (Arrow batches — never per-row Python).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import hmac as _hmac
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def md5(col) -> Column:
+    """jq ``md5`` (crypto.go:26-30) → hex string."""
+    return F.md5(F.col(col) if isinstance(col, str) else col)
+
+
+def sha256(col) -> Column:
+    """jq ``sha256`` (crypto.go:31-35)."""
+    return F.sha2(F.col(col) if isinstance(col, str) else col, 256)
+
+
+def sha512(col) -> Column:
+    """jq ``sha512`` (crypto.go:36-39)."""
+    return F.sha2(F.col(col) if isinstance(col, str) else col, 512)
+
+
+def uuid() -> Column:
+    """jq ``uuid`` (crypto.go:94-98). Non-deterministic — banned from
+    certified CDC paths, provided for parity."""
+    return F.uuid()
+
+
+def shuffle(array_col) -> Column:
+    """jq ``shuffle`` (shuffle.go:11-33). Non-deterministic ordering."""
+    return F.shuffle(array_col)
+
+
+def shared_hash64(col) -> Column:
+    """Deterministic 60-bit hash computable identically in DuckDB:
+    Spark  : conv(substr(md5(x),1,15),16,10)::long
+    DuckDB : CAST('0x' || substr(md5(x),1,15) AS BIGINT)
+    Used by MinHash/SimHash so the driver oracle can reproduce signatures
+    exactly."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def _hmac_pandas(algo: str):
+    """Build the vectorized HMAC udf lazily — pandas_udf registration needs
+    an active SparkSession, so creation happens at first call, not import."""
+    cache: dict[str, object] = {}
+
+    def make():
+        @pandas_udf("string")
+        def fn(key: pd.Series, msg: pd.Series) -> pd.Series:
+            return pd.Series(
+                [
+                    None
+                    if k is None or m is None
+                    else _hmac.new(
+                        k.encode("utf-8"), m.encode("utf-8"), getattr(hashlib, algo)
+                    ).hexdigest()
+                    for k, m in zip(key, msg)
+                ]
+            )
+
+        return fn
+
+    def call(key, msg) -> Column:
+        if "udf" not in cache:
+            cache["udf"] = make()
+        return cache["udf"](key, msg)
+
+    return call
+
+
+hmac_sha256 = _hmac_pandas("sha256")  # jq hmac_sha256 (crypto.go:75-80)
+hmac_sha512 = _hmac_pandas("sha512")  # jq hmac_sha512 (crypto.go:81-86)
+hmac_md5 = _hmac_pandas("md5")  # jq hmac_md5    (crypto.go:87-91)

@@ -1,0 +1,281 @@
+"""Training-data pipeline operators over document corpora: dedup families
+(exact, MinHash-LSH, SimHash, n-gram Jaccard), text analysis (language ID,
+quality scoring, token counting, fingerprinting).
+
+Not in the reference (it has no corpus ops) — these are the engine's
+added-value surface for 100 TB text pipelines. Every op is pure Column
+expressions so signatures are reproducible by the DuckDB oracle: the shared
+primitive is ``shared_hash64`` (md5-based 60-bit hash both engines compute
+identically).
+
+Scale notes baked into each op:
+- dedup joins are blocked (by band hash / language / exact hash), never an
+  unblocked O(n²) cross join;
+- token explosion happens AFTER distinct-shingling per doc, bounding the
+  shuffle to O(total distinct shingles);
+- all aggregates are hash aggs with map-side partial combine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from caterpillar_spark.functions import shared_hash64
+from caterpillar_spark.operators import register
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
+
+
+def _words(col: Column) -> Column:
+    return F.split(F.trim(col), r"\s+")
+
+
+# --------------------------------------------------------------- exact dedup
+@register("dedup_exact")
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content hash: one representative (min id) per md5,
+    with the duplicate count. Hash-groupBy — one shuffle on the digest."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_md5"))
+        .agg(
+            F.min(id_col).alias("rep_id"),
+            F.count("*").alias("n_dupes"),
+        )
+    )
+
+
+# ------------------------------------------------------------------- minhash
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_w: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature over w-word shingles.
+
+    shingle -> k hash family members H_i(s) = shared_hash64(i || ':' || s);
+    signature[i] = min over shingles. Exploding distinct shingles keeps the
+    shuffle linear in corpus token count, and the min-agg partial-combines
+    map-side."""
+    words = _words(F.col(text_col))
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - shingle_w + 1, F.lit(1)))
+    shingles = F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(words, i, shingle_w), " "))
+    )
+    exploded = df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+    mins = [
+        F.min(
+            shared_hash64(F.concat(F.lit(f"{i}:"), F.col("shingle")))
+        ).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return exploded.groupBy(id_col).agg(*mins)
+
+
+@register("dedup_minhash_lsh")
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_w: int = 3,
+) -> DataFrame:
+    """MinHash + LSH banding: near-dup candidate pairs (a < b) that share at
+    least one band. shingle→minhash→band→bucket-join; the join key is
+    (band_idx, band hash) so it is fully blocked — no cross join."""
+    sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_w)
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"h{b * band_size + j}").cast("string")
+                        for j in range(band_size)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sig.select(F.col(id_col), F.explode(bands).alias("band")).select(
+        F.col(id_col).alias("id"), "band.band_idx", "band.band_key"
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+# ------------------------------------------------------------------- simhash
+@register("dedup_simhash")
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+) -> DataFrame:
+    """Per-doc SimHash over word tokens (bit b set iff the sum of ±1 votes
+    from token hashes is positive). One explode + one hash agg."""
+    tokens = df.select(
+        F.col(id_col), F.explode(_words(F.col(text_col))).alias("tok")
+    ).withColumn("th", shared_hash64(F.col("tok")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = tokens.groupBy(id_col).agg(*votes)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+# ------------------------------------------------------------ ngram jaccard
+@register("dedup_ngram_jaccard")
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str = "lang",
+    threshold: float = 0.8,
+    n: int = 2,
+) -> DataFrame:
+    """Near-dup pairs by word-n-gram Jaccard within a blocking key.
+
+    Token-inverted-index join (explode distinct n-grams, self-join on the
+    n-gram within the block) → intersection counts; |A∪B| = |A|+|B|−|A∩B|.
+    Blocking bounds the candidate set; at 100 TB chain behind minhash_lsh."""
+    words = _words(F.col(text_col))
+    cnt = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(cnt - n + 1, F.lit(1)))
+    grams = F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
+    )
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("blk"),
+        F.explode(grams).alias("g"),
+    )
+    sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
+    inter = (
+        toks.alias("l")
+        .join(
+            toks.alias("r"),
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.g") == F.col("r.g"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# ------------------------------------------------------------- text analysis
+@register("lang_id")
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: stopword-ratio rule (deterministic CASE so the
+    oracle reproduces it; a real model slots in as a pandas UDF)."""
+    words = _words(F.col(text_col))
+    stop = F.size(
+        F.filter(words, lambda w: F.lower(w).isin(*STOPWORDS))
+    )
+    ratio = stop / F.greatest(F.size(words), F.lit(1))
+    return df.select(
+        F.col(id_col),
+        F.round(ratio, 4).alias("stopword_ratio"),
+        F.when(ratio > 0.05, F.lit("en")).otherwise(F.lit("other")).alias("lang_pred"),
+    )
+
+
+@register("quality_score")
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Quality scoring: length/word/stopword/punct features + a composite
+    score. All arithmetic, fully oracle-reproducible."""
+    txt = F.col(text_col)
+    words = _words(txt)
+    n_words = F.size(words)
+    n_chars = F.length(txt)
+    avg_wlen = n_chars / F.greatest(n_words, F.lit(1))
+    stop_ratio = F.size(F.filter(words, lambda w: F.lower(w).isin(*STOPWORDS))) / F.greatest(
+        n_words, F.lit(1)
+    )
+    punct = F.length(txt) - F.length(F.regexp_replace(txt, r"[^\w\s]", ""))
+    score = (
+        F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * 10, F.lit(1.0)) * 0.3
+        + F.when((avg_wlen >= 3) & (avg_wlen <= 8), 0.3).otherwise(0.0)
+    )
+    # floor-scaled integer, not round(): Spark's round() rounds the decimal
+    # string repr of the double while DuckDB rounds the binary value — they
+    # disagree on exact .xxxx5 boundaries; floor on the same double doesn't.
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        F.round(avg_wlen, 4).alias("avg_word_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        punct.alias("n_punct"),
+        F.floor(score * 10000 + 0.5).cast("long").alias("quality_x1e4"),
+    )
+
+
+@register("token_count")
+def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token counting: whitespace tokens and BPE-ish regex tokens
+    (letter-runs / digit-runs / single punct)."""
+    txt = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(_words(txt)).alias("ws_tokens"),
+        F.regexp_count(txt, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")).alias(
+            "re_tokens"
+        ),
+    )
+
+
+@register("fingerprint")
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprint: polynomial rolling hash over the word sequence
+    (order-sensitive, unlike the dedup set hashes). Arithmetic kept within
+    int64 under ANSI mode: acc = (acc*31 + h(word) mod 1e6+3) mod 1e9+7."""
+    words = _words(F.col(text_col))
+    fp = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: (acc * 31 + shared_hash64(w) % 1000003) % 1000000007,
+    )
+    return df.select(F.col(id_col), fp.alias("fingerprint"))

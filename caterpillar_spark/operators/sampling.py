@@ -1,0 +1,61 @@
+"""Sampling operators — the reference's ``sample`` task family
+(``task/sample/sample.go:22-86``). Distributed data has no positional
+order, so each variant takes an explicit order column where the reference
+used arrival order (arrival order IS a column in our model: the LSN)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from caterpillar_spark.operators import register
+
+
+@register("sample_head")
+def head(df: DataFrame, order: str, n: int) -> DataFrame:
+    """``head`` filter (task/sample/head.go:22-31): first n by order col."""
+    return df.orderBy(F.col(order).asc()).limit(n)
+
+
+@register("sample_tail")
+def tail(df: DataFrame, order: str, n: int) -> DataFrame:
+    """``tail`` filter (task/sample/tail.go:25-49): last n, original order
+    preserved — ring buffer in the reference; top-k + re-sort here."""
+    last = df.orderBy(F.col(order).desc()).limit(n)
+    return last.orderBy(F.col(order).asc())
+
+
+@register("sample_nth")
+def nth(df: DataFrame, order: str, divider: int) -> DataFrame:
+    """``nth`` filter (task/sample/nth.go:22-32): every divider-th record by
+    position (0-based index % divider == 0)."""
+    w = Window.orderBy(F.col(order).asc())
+    return (
+        df.withColumn("_idx", F.row_number().over(w) - 1)
+        .filter(F.col("_idx") % divider == 0)
+        .drop("_idx")
+    )
+
+
+@register("sample_percent")
+def percent(df: DataFrame, pct: float, seed: int = 42) -> DataFrame:
+    """``percent`` filter (task/sample/percent.go:35-49): independent
+    Bernoulli keep. Seeded here (the reference uses crypto RNG — we need
+    reproducibility for certification)."""
+    return df.sample(fraction=pct / 100.0, seed=seed)
+
+
+@register("sample_random")
+def random_n(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
+    """``random`` filter (task/sample/random.go:28-54). The reference picks
+    WITH replacement from a buffer; distributed form is without replacement
+    (documented divergence, SURVEY.md §2.7)."""
+    return df.orderBy(F.rand(seed)).limit(n)
+
+
+@register("sample_nth_keyed")
+def nth_keyed(df: DataFrame, order: str, divider: int) -> DataFrame:
+    """Scale-friendly nth: uses the (dense, unique) order column value
+    directly instead of a global row_number window — no single-task sort.
+    Equivalent to `nth` when `order` is dense from 0 (e.g. the LSN)."""
+    return df.filter(F.col(order) % divider == 0)
