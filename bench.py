@@ -1,0 +1,138 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
+
+Headline = the north-star CDC replay (synthetic change stream → dedup →
+MERGE; events/sec) + representative operator queries from the driver
+inventory. The change stream is generated once per (n_events) and cached
+on disk so repeated runs measure the engine, not the generator.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import types as T  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from caterpillar_spark.cdc import replay_chunks  # noqa: E402
+from caterpillar_spark.generator import GeneratorSpec, write_changelog_chunks  # noqa: E402
+from caterpillar_spark.session import get_spark  # noqa: E402
+from caterpillar_spark.sinks.snapshot_table import SnapshotTable  # noqa: E402
+
+PAYLOAD = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+BENCH_QUERIES = [
+    "cdc_lww_latest",
+    "cdc_lww_window",
+    "filter_project",
+    "json_project",
+    "agg_groupby",
+    "window_running",
+    "split_explode",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "quality_score",
+    "token_count",
+    "fingerprint",
+    "ann_cosine_topk",
+    "media_features",
+]
+
+
+def cdc_events_dir(spark, n_events: int, n_chunks: int) -> list[str]:
+    """Generate-once cache of the benchmark change stream."""
+    base = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/caterpillar_bench")
+    out = f"{base}/events_{n_events}_{n_chunks}"
+    marker = f"{out}/_DONE"
+    if not os.path.exists(marker):
+        shutil.rmtree(out, ignore_errors=True)
+        spec = GeneratorSpec(
+            n_events=n_events,
+            n_convs=max(1000, n_events // 100),
+            turns_per_conv=10,
+            seed=42,
+            n_source_partitions=32,
+        )
+        write_changelog_chunks(spark, spec, out, n_chunks=n_chunks)
+        open(marker, "w").close()
+    return sorted(
+        f"{out}/{d}" for d in os.listdir(out) if d.startswith("chunk-")
+    )
+
+
+TABLE_BASE = "/tmp/caterpillar_bench"
+
+
+def run_cdc_bench(spark, n_events: int, n_chunks: int = 4) -> dict:
+    chunks = cdc_events_dir(spark, n_events, n_chunks)
+    work = f"{TABLE_BASE}/table_{os.getpid()}_{time.time_ns()}"
+    tbl = SnapshotTable(spark, work, n_buckets=32).create(PAYLOAD)
+    t0 = time.time()
+    replay_chunks(spark, chunks, tbl)
+    dt = time.time() - t0
+    rows = tbl.read().count()
+    shutil.rmtree(work, ignore_errors=True)
+    return {
+        "events": n_events,
+        "seconds": round(dt, 2),
+        "events_per_sec": round(n_events / dt, 1),
+        "final_rows": rows,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "2000000"))
+    spark = get_spark("caterpillar-bench", cores=cores)
+
+    qs = entrymod.queries()
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.count()  # force full execution
+        dt = time.time() - t0
+        per_query[name] = round(dt, 3)
+        total += dt
+
+    cdc = run_cdc_bench(spark, n_events)
+    total += cdc["seconds"]
+    per_query["cdc_replay"] = cdc["seconds"]
+
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall time (operator queries + CDC replay)",
+                "value": round(total, 2),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+                "cdc_replay": cdc,
+                "cores": cores,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

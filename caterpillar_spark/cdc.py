@@ -26,8 +26,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
-from caterpillar_spark.operators.dedup import last_writer_wins
 from caterpillar_spark.sinks.snapshot_table import SnapshotTable, _covered
 
 
@@ -41,15 +41,6 @@ class BatchResult:
     seconds: float
 
 
-def _lineage_counts(events: DataFrame) -> list[tuple[int, int]]:
-    if "source_partition" not in events.columns:
-        return [(-1, events.count())]
-    rows = (
-        events.groupBy("source_partition").agg(F.count("*").alias("n")).collect()
-    )
-    return [(int(r["source_partition"]), int(r["n"])) for r in rows]
-
-
 def apply_changes(
     events: DataFrame,
     table: SnapshotTable,
@@ -57,41 +48,65 @@ def apply_changes(
     stream_id: str = "default",
     offset_range: tuple[int, int] | None = None,
 ) -> BatchResult:
-    """Apply one ordered change-event batch to the table, exactly once."""
+    """Apply one ordered change-event batch to the table, exactly once.
+
+    One fused statistics pass computes lineage counts, the LSN offset range
+    AND the affected-bucket set in a single Spark job (per-batch driver
+    round-trips are the fixed cost that caps small-batch throughput), then
+    one merge job does dedup + bucket-pruned upsert + write.
+    """
     t0 = time.time()
+    has_sp = "source_partition" in events.columns
+    sp_col = F.col("source_partition") if has_sp else F.lit(-1)
+    # the batch is consumed twice (stats pass, merge pass): cache it so the
+    # second pass reads columnar blocks, not parquet again
+    events = events.persist(StorageLevel.MEMORY_AND_DISK)
+    stats = (
+        events.groupBy(
+            sp_col.alias("sp"), table.bucket_expr().alias("b")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("lsn").alias("lo"),
+            F.max("lsn").alias("hi"),
+        )
+        .collect()
+    )
+    if not stats:
+        events.unpersist()
+        return BatchResult(batch_id, -1, 0, -1, 0, time.time() - t0)
     if offset_range is None:
-        agg = events.agg(
-            F.min("lsn").alias("lo"), F.max("lsn").alias("hi"), F.count("*").alias("n")
-        ).collect()[0]
-        if agg["n"] == 0:
-            return BatchResult(batch_id, -1, 0, -1, 0, time.time() - t0)
-        offset_range, rows_in = (int(agg["lo"]), int(agg["hi"])), int(agg["n"])
-    else:
-        rows_in = -1
+        offset_range = (
+            min(int(r["lo"]) for r in stats),
+            max(int(r["hi"]) for r in stats),
+        )
+    rows_in = sum(int(r["n"]) for r in stats)
+    affected = sorted({int(r["b"]) for r in stats})
+    by_sp: dict[int, int] = {}
+    for r in stats:
+        by_sp[int(r["sp"])] = by_sp.get(int(r["sp"]), 0) + int(r["n"])
+    counts = sorted(by_sp.items())
 
     if _covered(table.applied_ranges(stream_id), *offset_range):
+        events.unpersist()
         return BatchResult(
             batch_id, -1, offset_range[0], offset_range[1], 0, time.time() - t0
         )
 
-    counts = _lineage_counts(events)
-    if rows_in < 0:
-        rows_in = sum(n for _, n in counts)
-    deduped = last_writer_wins(
-        events.drop("source_partition")
-        if "source_partition" in events.columns
-        else events,
-        key=("conv_id", "turn_idx"),
-        lsn_col="lsn",
-    )
-    version = table.merge(
-        deduped,
-        batch_id=batch_id,
-        offset_range=offset_range,
-        partition_counts=counts,
-        stream_id=stream_id,
-        t_start=t0,
-    )
+    # no pre-dedup: merge's union + max_by aggregation IS the last-writer-
+    # wins reducer — deduping here first would shuffle the batch twice
+    try:
+        version = table.merge(
+            events.drop("source_partition") if has_sp else events,
+            batch_id=batch_id,
+            offset_range=offset_range,
+            partition_counts=counts,
+            stream_id=stream_id,
+            t_start=t0,
+            affected_buckets=affected,
+        )
+    finally:
+        events.unpersist()
     return BatchResult(
         batch_id, version, offset_range[0], offset_range[1], rows_in, time.time() - t0
     )

@@ -7,7 +7,10 @@ Layout::
 
     <root>/
       _log/v000000000042.json     # snapshot files; commit = atomic create
-      data/v42/_bucket=7/*.parquet
+      data/v42/part-*.parquet     # flat files; snapshot maps bucket -> files
+                                  # (pid(b) = pmod(murmur3(b), n) is
+                                  # deterministic, so the writer needs no
+                                  # dynamic-partition committer — 3-5x faster)
 
 Concurrency/atomicity model (single writer, many readers — same posture as
 a Structured Streaming ``foreachBatch`` sink): a commit writes the data
@@ -49,7 +52,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 KEY = ["conv_id", "turn_idx"]
-_SYS_COLS = ["_lsn", "_deleted"]
+_SYS_COLS = ["_lsn", "_deleted", "_b"]
 
 
 @dataclass
@@ -70,7 +73,7 @@ class LineageEntry:
 class Snapshot:
     version: int
     schema_json: str  # Spark StructType json of PAYLOAD columns (no sys cols)
-    buckets: dict[str, str]  # bucket id (str) -> data dir, "" if empty
+    buckets: dict[str, list[str]]  # bucket id (str) -> data file paths
     applied: dict[str, list[list[int]]]  # stream_id -> merged [lo, hi] ranges
     lineage: list[dict] = field(default_factory=list)  # this commit's entries
     parent: int | None = None
@@ -111,6 +114,7 @@ class SnapshotTable:
         self.root = root
         self.n_buckets = n_buckets
         self._log_dir = os.path.join(root, "_log")
+        self._pid_cache: dict[int, int] | None = None
 
     # ------------------------------------------------------------- log io
     def _snap_path(self, v: int) -> str:
@@ -173,8 +177,40 @@ class SnapshotTable:
             + [
                 T.StructField("_lsn", T.LongType()),
                 T.StructField("_deleted", T.BooleanType()),
+                T.StructField("_b", T.IntegerType()),
             ]
         )
+
+    def _pid_of_bucket(self) -> dict[int, int]:
+        """bucket id -> shuffle partition id under repartition(n_buckets, _b).
+
+        Data files are written FLAT (a dynamic partitionBy writer costs
+        3-5x: per-directory committers + a sort) and bucket pruning instead
+        uses the fact that Spark's HashPartitioning is deterministic:
+        pid(b) = pmod(murmur3(b), n). Computed once via a tiny Spark job so
+        the constant (seed 42) stays in one place — Spark's own hash."""
+        if self._pid_cache is None:
+            rows = (
+                self.spark.range(self.n_buckets)
+                .select(
+                    F.col("id").cast("int").alias("b"),
+                    F.pmod(
+                        F.hash(F.col("id").cast("int")), F.lit(self.n_buckets)
+                    ).alias("p"),
+                )
+                .collect()
+            )
+            self._pid_cache = {int(r["b"]): int(r["p"]) for r in rows}
+        return self._pid_cache
+
+    @staticmethod
+    def _part_files_by_pid(data_dir: str) -> dict[int, list[str]]:
+        out: dict[int, list[str]] = {}
+        for f in os.listdir(data_dir):
+            if f.startswith("part-") and f.endswith(".parquet"):
+                pid = int(f.split("-")[1])
+                out.setdefault(pid, []).append(os.path.join(data_dir, f))
+        return out
 
     def _read_buckets(self, snap: Snapshot, bucket_ids: list[int]) -> DataFrame:
         """Read stored rows (incl. tombstones + sys cols) for the buckets.
@@ -183,14 +219,17 @@ class SnapshotTable:
         before a column existed return null for it — no rewrite.
         """
         schema = self._stored_schema(snap)
-        paths = [
-            snap.buckets[str(b)]
-            for b in bucket_ids
-            if snap.buckets.get(str(b))
-        ]
+        paths = sorted(
+            {p for b in bucket_ids for p in snap.buckets.get(str(b), [])}
+        )
         if not paths:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*paths)
+        df = self.spark.read.schema(schema).parquet(*paths)
+        if len(bucket_ids) < self.n_buckets:
+            # a flat file can hold several co-hashed buckets; the pushed-down
+            # _b filter restores exact bucket pruning
+            df = df.filter(F.col("_b").isin([int(b) for b in bucket_ids]))
+        return df
 
     def read(self, include_deleted: bool = False) -> DataFrame:
         """Current table state (live rows, payload columns only)."""
@@ -217,8 +256,10 @@ class SnapshotTable:
         return self.snapshot().applied.get(stream_id, [])
 
     # -------------------------------------------------------------- merge
-    def _bucket_col(self) -> F.Column:
+    def bucket_expr(self) -> F.Column:
         return F.pmod(F.xxhash64(F.col("conv_id")), F.lit(self.n_buckets)).cast("int")
+
+    _bucket_col = bucket_expr
 
     def merge(
         self,
@@ -228,9 +269,11 @@ class SnapshotTable:
         partition_counts: list[tuple[int, int]] | None = None,
         stream_id: str = "default",
         t_start: float | None = None,
+        affected_buckets: list[int] | None = None,
     ) -> int:
-        """Apply a DEDUPED change batch (one row per key, ``op`` + ``lsn``
-        columns) as an upsert. Returns the committed snapshot version, or
+        """Apply a change batch (``op`` + ``lsn`` columns; multiple events
+        per key allowed — the merge aggregation is itself the last-writer-
+        wins reducer). Returns the committed snapshot version, or
         -1 if the offset range was already applied (idempotent no-op).
 
         Semantics = Iceberg ``MERGE INTO t USING u ON key WHEN MATCHED AND
@@ -269,12 +312,12 @@ class SnapshotTable:
             F.col("lsn").alias("_lsn"),
             (F.col("op") == "D").alias("_deleted"),
         ).withColumn("_b", self._bucket_col())
-        affected = sorted(
-            r[0] for r in upd.select("_b").distinct().collect()
+        affected = (
+            affected_buckets
+            if affected_buckets is not None
+            else sorted(r[0] for r in upd.select("_b").distinct().collect())
         )
-        current = self._read_buckets(snap, affected).withColumn(
-            "_b", self._bucket_col()
-        )
+        current = self._read_buckets(snap, affected)
         for f in new_fields:  # stored side lacks brand-new columns
             current = current.withColumn(f.name, F.lit(None).cast(f.dataType))
         current = current.select(*upd.columns)
@@ -307,23 +350,18 @@ class SnapshotTable:
         new_version = snap.version + 1
         data_dir = os.path.join(self.root, "data", f"v{new_version}")
         (
-            winner.repartition(max(1, len(affected)), F.col("_b"))
-            .write.partitionBy("_b")
-            .mode("overwrite")
+            winner.repartition(self.n_buckets, F.col("_b"))
+            .write.mode("overwrite")
             .parquet(data_dir)
         )
 
-        # build bucket map: affected buckets now point at the new dirs
+        # affected buckets now point at this commit's files (flat write:
+        # bucket b lives in the file of shuffle partition pid(b))
+        pid = self._pid_of_bucket()
+        by_pid = self._part_files_by_pid(data_dir)
         new_buckets = dict(snap.buckets)
-        produced = {
-            int(d.split("=")[1])
-            for d in os.listdir(data_dir)
-            if d.startswith("_b=")
-        }
         for b in affected:
-            new_buckets[str(b)] = (
-                os.path.join(data_dir, f"_b={b}") if b in produced else ""
-            )
+            new_buckets[str(b)] = by_pid.get(pid[b], [])
 
         # ---- lineage + ledger -------------------------------------------
         t1 = time.time()
@@ -367,26 +405,20 @@ class SnapshotTable:
         live = [b for b in range(self.n_buckets) if snap.buckets.get(str(b))]
         if not live:
             return snap.version
-        df = self._read_buckets(snap, live).withColumn("_b", self._bucket_col())
+        df = self._read_buckets(snap, live)
         if drop_tombstones:
             df = df.filter(~F.col("_deleted"))
         new_version = snap.version + 1
         data_dir = os.path.join(self.root, "data", f"v{new_version}")
         (
-            df.repartition(max(1, len(live)), F.col("_b"))
-            .write.partitionBy("_b")
-            .mode("overwrite")
+            df.repartition(self.n_buckets, F.col("_b"))
+            .write.mode("overwrite")
             .parquet(data_dir)
         )
-        produced = {
-            int(d.split("=")[1])
-            for d in os.listdir(data_dir)
-            if d.startswith("_b=")
-        }
+        pid = self._pid_of_bucket()
+        by_pid = self._part_files_by_pid(data_dir)
         new_buckets = {
-            str(b): (os.path.join(data_dir, f"_b={b}") if b in produced else "")
-            for b in range(self.n_buckets)
-            if snap.buckets.get(str(b)) or b in produced
+            str(b): by_pid.get(pid[b], []) for b in range(self.n_buckets)
         }
         self._commit(
             Snapshot(
