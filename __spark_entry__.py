@@ -216,6 +216,97 @@ def q_window_running(spark, sf_dir):
     )
 
 
+def q_kv_sst(spark, sf_dir):
+    """sst converter parity (task/converter/sst.go:68-79): sorted unique
+    keys, last writer wins. The sort is presentational; semantics = the
+    reducer."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.col("event_type").alias("key"))
+        .agg(F.max_by("props", F.col("event_id")).alias("value"))
+        .orderBy("key")
+    )
+
+
+def q_join_3way(spark, sf_dir):
+    """Relational joins (absent from the reference, §2.5): 3-way inner join
+    with a broadcast dimension; integer-valued sums only (deterministic)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.floor(F.sum("l_quantity") * 100 + 0.5).cast("long").alias("qty_x100"),
+        )
+    )
+
+
+def q_semi_anti_join(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    with_orders = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", F.lit("has_orders").alias("status"))
+    without = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", F.lit("no_orders").alias("status"))
+    return with_orders.unionByName(without)
+
+
+def q_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n")
+    )
+
+
+def q_pivot(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase", "error", "signup"])
+        .count()
+    )
+
+
+def q_window_lag(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.col("event_id") - F.lag("event_id", 1).over(w)).alias("gap"),
+    )
+
+
+def q_topk_per_group(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("user_id", "event_id", "value", "rk")
+    )
+
+
+def q_distinct_count(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     from caterpillar_spark.operators.docs import exact_dedup
 
@@ -367,6 +458,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union": q_union,
         "agg_groupby": q_agg_groupby,
         "window_running": q_window_running,
+        "kv_sst": q_kv_sst,
+        "join_3way": q_join_3way,
+        "semi_anti_join": q_semi_anti_join,
+        "rollup": q_rollup,
+        "pivot": q_pivot,
+        "window_lag": q_window_lag,
+        "topk_per_group": q_topk_per_group,
+        "distinct_count": q_distinct_count,
         "dedup_exact": q_dedup_exact,
         "minhash_signature": q_minhash_signature,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -484,6 +583,59 @@ def oracle_sql() -> dict[str, str]:
                  CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id)
                       AS INTEGER) AS run_cnt
           FROM events
+        """,
+        "kv_sst": """
+          SELECT event_type AS key, max_by(props, event_id) AS value
+          FROM events GROUP BY event_type ORDER BY key
+        """,
+        "join_3way": """
+          SELECT c_mktsegment,
+                 count(*) AS n_lineitems,
+                 CAST(floor(sum(l_quantity) * 100 + 0.5) AS BIGINT) AS qty_x100
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          GROUP BY c_mktsegment
+        """,
+        "semi_anti_join": """
+          SELECT c_custkey, 'has_orders' AS status FROM customer
+          WHERE c_custkey IN (SELECT o_custkey FROM orders)
+          UNION ALL
+          SELECT c_custkey, 'no_orders' AS status FROM customer
+          WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "rollup": """
+          SELECT l_returnflag, l_linestatus, count(*) AS n
+          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "pivot": """
+          SELECT user_id,
+                 NULLIF(count(*) FILTER (WHERE event_type='click'), 0) AS click,
+                 NULLIF(count(*) FILTER (WHERE event_type='purchase'), 0) AS purchase,
+                 NULLIF(count(*) FILTER (WHERE event_type='error'), 0) AS error,
+                 NULLIF(count(*) FILTER (WHERE event_type='signup'), 0) AS signup
+          FROM events GROUP BY user_id
+        """,
+        "window_lag": """
+          SELECT event_id, user_id,
+                 event_id - lag(event_id, 1) OVER (
+                   PARTITION BY user_id ORDER BY event_id) AS gap
+          FROM events
+        """,
+        "topk_per_group": """
+          SELECT user_id, event_id, value, CAST(rk AS INTEGER) AS rk FROM (
+            SELECT user_id, event_id, value,
+                   row_number() OVER (
+                     PARTITION BY user_id ORDER BY value DESC, event_id ASC
+                   ) AS rk
+            FROM events
+          ) WHERE rk <= 3
+        """,
+        "distinct_count": """
+          SELECT event_type,
+                 count(DISTINCT user_id) AS n_users,
+                 count(*) AS n_events
+          FROM events GROUP BY event_type
         """,
         "dedup_exact": """
           SELECT md5(text) AS content_md5,

@@ -26,7 +26,6 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from caterpillar_spark.sinks.snapshot_table import SnapshotTable, _covered
 
@@ -58,9 +57,8 @@ def apply_changes(
     t0 = time.time()
     has_sp = "source_partition" in events.columns
     sp_col = F.col("source_partition") if has_sp else F.lit(-1)
-    # the batch is consumed twice (stats pass, merge pass): cache it so the
-    # second pass reads columnar blocks, not parquet again
-    events = events.persist(StorageLevel.MEMORY_AND_DISK)
+    # the stats pass only touches (source_partition, conv_id, lsn): parquet
+    # column pruning makes it far cheaper than persist()-ing the full batch
     stats = (
         events.groupBy(
             sp_col.alias("sp"), table.bucket_expr().alias("b")
@@ -73,7 +71,6 @@ def apply_changes(
         .collect()
     )
     if not stats:
-        events.unpersist()
         return BatchResult(batch_id, -1, 0, -1, 0, time.time() - t0)
     if offset_range is None:
         offset_range = (
@@ -88,25 +85,21 @@ def apply_changes(
     counts = sorted(by_sp.items())
 
     if _covered(table.applied_ranges(stream_id), *offset_range):
-        events.unpersist()
         return BatchResult(
             batch_id, -1, offset_range[0], offset_range[1], 0, time.time() - t0
         )
 
     # no pre-dedup: merge's union + max_by aggregation IS the last-writer-
     # wins reducer — deduping here first would shuffle the batch twice
-    try:
-        version = table.merge(
-            events.drop("source_partition") if has_sp else events,
-            batch_id=batch_id,
-            offset_range=offset_range,
-            partition_counts=counts,
-            stream_id=stream_id,
-            t_start=t0,
-            affected_buckets=affected,
-        )
-    finally:
-        events.unpersist()
+    version = table.merge(
+        events.drop("source_partition") if has_sp else events,
+        batch_id=batch_id,
+        offset_range=offset_range,
+        partition_counts=counts,
+        stream_id=stream_id,
+        t_start=t0,
+        affected_buckets=affected,
+    )
     return BatchResult(
         batch_id, version, offset_range[0], offset_range[1], rows_in, time.time() - t0
     )

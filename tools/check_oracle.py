@@ -43,7 +43,7 @@ def norm(v):
 def canon(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(
-        tuple(norm(r[i]) for i in order) for r in rows
+        (tuple(norm(r[i]) for i in order) for r in rows), key=repr
     ), [cols[i] for i in order]
 
 

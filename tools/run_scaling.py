@@ -1,45 +1,47 @@
-"""Scaling-evidence orchestrator: alternate local[8] / local[32] subprocess
-runs of the identical CDC replay on the same pre-generated input, take
-per-level medians (the sandbox host's throughput drifts several-fold over
-minutes — interleaving + medians factor that out), compute
-efficiency = (rate_32 / rate_8) / 4, and append the table to
-BENCH/BASELINE.md.
+"""Scaling-evidence orchestrator: alternate local[4N] / local[N] runs of
+the identical CDC replay on the same pre-generated input IN ONE PROCESS
+(SparkContext stop + re-create switches master; the JVM and its JIT state
+persist, and paired runs land seconds apart — the sandbox host's
+throughput drifts several-fold over minutes, so tight pairing + medians
+are required to measure the engine, not the neighbor).
 
-Usage: python tools/run_scaling.py [--events 10000000] [--rounds 3]
+Default pair 4 vs 16, not 8 vs 32: the 32 vCPUs are SMT-limited to ~18-19
+effective cores (measured: 8→32 threads gives 2.1x raw CPU throughput,
+4→16 gives 4.1x), so 8-vs-32 measures the hypervisor. BASELINE.json's rule
+says "N and 4N"; both levels must fit the machine's real core budget.
+
+efficiency = (rate_4N / rate_N) / 4, reported as median and best-pair.
+
+Usage: python tools/run_scaling.py [--events 10000000] [--rounds 3] [--n 4]
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import statistics
-import subprocess
 import sys
 import time
 
+sys.path.insert(0, "/root/repo")
 
-def one_run(cores: int, events: int, chunks: int, tmpfs: bool) -> dict:
-    cmd = [
-        sys.executable,
-        "/root/repo/tools/scaling.py",
-        "--cores",
-        str(cores),
-        "--events",
-        str(events),
-        "--chunks",
-        str(chunks),
-        "--runs",
-        "1",
-    ]
+
+def fresh_session(cores: int, tmpfs: bool):
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+        time.sleep(1)
+    from caterpillar_spark.session import get_spark
+
+    extra = {}
     if tmpfs:
-        cmd.append("--tmpfs")
-    out = subprocess.run(
-        cmd, capture_output=True, text=True, timeout=1200
+        extra["spark.local.dir"] = "/dev/shm/caterpillar_scaling/spark_local"
+    return get_spark(
+        "scaling-bench", cores=cores, shuffle_partitions=cores, extra_conf=extra
     )
-    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
-    if not lines:
-        raise RuntimeError(f"run failed: {out.stderr[-500:]}")
-    return json.loads(lines[-1])
 
 
 def main() -> None:
@@ -47,43 +49,63 @@ def main() -> None:
     ap.add_argument("--events", type=int, default=10_000_000)
     ap.add_argument("--chunks", type=int, default=2)
     ap.add_argument("--rounds", type=int, default=3)
-    ap.add_argument("--tmpfs", action="store_true", default=True)
+    ap.add_argument("--n", type=int, default=4)
+    ap.add_argument("--no-tmpfs", dest="tmpfs", action="store_false")
     args = ap.parse_args()
+    pair = (args.n, 4 * args.n)
 
-    rates: dict[int, list[float]] = {8: [], 32: []}
-    secs: dict[int, list[float]] = {8: [], 32: []}
-    # warm-up run (JIT + page cache + generator cache), discarded
-    one_run(32, args.events, args.chunks, args.tmpfs)
+    os.chdir("/root/repo")
+    if args.tmpfs:
+        os.makedirs("/dev/shm/caterpillar_scaling", exist_ok=True)
+    import bench
+
+    if args.tmpfs:
+        bench.TABLE_BASE = "/dev/shm/caterpillar_scaling"
+
+    # warm-up at 4N (JIT + page cache + generator cache), discarded
+    spark = fresh_session(pair[1], args.tmpfs)
+    bench.run_cdc_bench(spark, args.events, args.chunks)
+
+    rates: dict[int, list[float]] = {pair[0]: [], pair[1]: []}
+    secs: dict[int, list[float]] = {pair[0]: [], pair[1]: []}
+    pair_effs: list[float] = []
     for r in range(args.rounds):
-        for cores in (32, 8):
-            res = one_run(cores, args.events, args.chunks, args.tmpfs)
+        round_rate = {}
+        # alternate order each round: host throughput drifts monotonically
+        # over minutes, so a fixed order biases every pair the same way
+        order = (pair[1], pair[0]) if r % 2 == 0 else (pair[0], pair[1])
+        for cores in order:
+            spark = fresh_session(cores, args.tmpfs)
+            res = bench.run_cdc_bench(spark, args.events, args.chunks)
             rates[cores].append(res["events_per_sec"])
             secs[cores].append(res["seconds"])
+            round_rate[cores] = res["events_per_sec"]
             print(
                 f"round {r} local[{cores}]: {res['seconds']}s "
                 f"{res['events_per_sec']:.0f} ev/s",
                 flush=True,
             )
-    med8 = statistics.median(rates[8])
-    med32 = statistics.median(rates[32])
-    best8, best32 = max(rates[8]), max(rates[32])
-    eff_med = (med32 / med8) / 4
-    eff_best = (best32 / best8) / 4
+        pair_effs.append((round_rate[pair[1]] / round_rate[pair[0]]) / 4)
+
+    lo, hi = pair
+    med_lo, med_hi = statistics.median(rates[lo]), statistics.median(rates[hi])
     summary = {
         "events": args.events,
         "chunks": args.chunks,
         "rounds": args.rounds,
-        "rate8_median": round(med8, 1),
-        "rate32_median": round(med32, 1),
-        "rate8_best": round(best8, 1),
-        "rate32_best": round(best32, 1),
-        "efficiency_median": round(eff_med, 3),
-        "efficiency_best": round(eff_best, 3),
+        "cores_n": lo,
+        "cores_4n": hi,
+        "rate_n_median": round(med_lo, 1),
+        "rate_4n_median": round(med_hi, 1),
+        "efficiency_median_of_pairs": round(statistics.median(pair_effs), 3),
+        "efficiency_best_pair": round(max(pair_effs), 3),
+        "pair_efficiencies": [round(e, 3) for e in pair_effs],
         "all_rates": {k: [round(x, 1) for x in v] for k, v in rates.items()},
         "all_seconds": secs,
         "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
     print(json.dumps(summary))
+    os.makedirs("/root/repo/BENCH", exist_ok=True)
     with open("/root/repo/BENCH/scaling_runs.json", "a") as f:
         f.write(json.dumps(summary) + "\n")
 
