@@ -19,3 +19,20 @@ def register(name: str):
         return fn
 
     return deco
+
+
+def _load_all() -> None:
+    """Populate REGISTRY by importing every operator module (bottom import
+    keeps the circular dependency one-way: modules only need `register`,
+    which is already defined)."""
+    from caterpillar_spark.operators import (  # noqa: F401
+        dedup,
+        docs,
+        multimodal,
+        sampling,
+        similarity,
+        text,
+    )
+
+
+_load_all()

@@ -38,6 +38,12 @@ def main() -> None:
 
     import os
 
+    # Bind the WHOLE process tree (incl. the child JVM: it inherits the
+    # affinity mask) to exactly N CPUs. local[N] alone only limits executor
+    # task threads — GC, JIT, Netty and kernel I/O would still spill onto
+    # all 32 vCPUs, making the small "cluster" unrealistically fast and the
+    # scaling measurement meaningless.
+    os.sched_setaffinity(0, set(range(args.cores)))
     os.chdir("/root/repo")
     extra = {}
     if args.tmpfs:
@@ -46,16 +52,29 @@ def main() -> None:
         extra["spark.local.dir"] = "/dev/shm/caterpillar_scaling/spark_local"
     from bench import run_cdc_bench
 
+    # shuffle partitions are sized to DATA (~600k rows ≈ 150MB per task),
+    # identical at both parallelism levels — on a real cluster partition
+    # count follows data size, not executor count; cores-sized partitions
+    # made 20M-row batches spill (640MB/task)
+    batch_rows = args.events // args.chunks
+    shuffle_parts = max(16, batch_rows // 600_000)
     spark = get_spark(
         "scaling-bench",
         cores=args.cores,
-        shuffle_partitions=args.cores,
+        shuffle_partitions=shuffle_parts,
         extra_conf=extra,
     )
-    if args.tmpfs:
-        import bench
+    import bench
 
+    if args.tmpfs:
         bench.TABLE_BASE = "/dev/shm/caterpillar_scaling"
+
+    # JIT warm-up: the merge path drops ~4x over the first few replays in a
+    # fresh JVM (C2 compilation); measuring before that measures the JIT.
+    # Two small replays compile the hot paths; they are not timed.
+    warm_events = max(1_000_000, args.events // 5)
+    for _ in range(2):
+        bench.run_cdc_bench(spark, warm_events, 2)
     for i in range(args.runs):
         res = run_cdc_bench(spark, args.events, args.chunks)
         res["cores"] = args.cores
