@@ -46,43 +46,53 @@ def apply_changes(
     batch_id: int,
     stream_id: str = "default",
     offset_range: tuple[int, int] | None = None,
+    prune: bool | None = None,
 ) -> BatchResult:
     """Apply one ordered change-event batch to the table, exactly once.
 
-    One fused statistics pass computes lineage counts, the LSN offset range
-    AND the affected-bucket set in a single Spark job (per-batch driver
-    round-trips are the fixed cost that caps small-batch throughput), then
-    one merge job does dedup + bucket-pruned upsert + write.
+    Two execution shapes, both a single merge job over the batch:
+
+    - ``offset_range`` known up front (binlog segments carry their LSN
+      range in parquet footers — see ``replay_chunks``): the ledger check
+      happens with ZERO Spark jobs, and per-partition lineage counts are
+      collected by ``observe()`` DURING the merge job. One scan total.
+    - ``offset_range`` unknown (ad-hoc batch): one pruned statistics pass
+      (only source_partition/conv_id/lsn columns) derives range + lineage
+      + affected buckets, then the merge job runs. Two scans, the first
+      narrow.
+
+    ``prune``: read only affected buckets (worth a stats pass for small
+    incremental batches); default automatically prunes only when the
+    offset range had to be computed anyway.
     """
     t0 = time.time()
     has_sp = "source_partition" in events.columns
     sp_col = F.col("source_partition") if has_sp else F.lit(-1)
-    # the stats pass only touches (source_partition, conv_id, lsn): parquet
-    # column pruning makes it far cheaper than persist()-ing the full batch
-    stats = (
-        events.groupBy(
-            sp_col.alias("sp"), table.bucket_expr().alias("b")
+    counts: list[tuple[int, int]] | None = None
+    affected: list[int] | None = None
+
+    if offset_range is None or (prune is True):
+        stats = (
+            events.groupBy(sp_col.alias("sp"), table.bucket_expr().alias("b"))
+            .agg(
+                F.count("*").alias("n"),
+                F.min("lsn").alias("lo"),
+                F.max("lsn").alias("hi"),
+            )
+            .collect()
         )
-        .agg(
-            F.count("*").alias("n"),
-            F.min("lsn").alias("lo"),
-            F.max("lsn").alias("hi"),
-        )
-        .collect()
-    )
-    if not stats:
-        return BatchResult(batch_id, -1, 0, -1, 0, time.time() - t0)
-    if offset_range is None:
-        offset_range = (
-            min(int(r["lo"]) for r in stats),
-            max(int(r["hi"]) for r in stats),
-        )
-    rows_in = sum(int(r["n"]) for r in stats)
-    affected = sorted({int(r["b"]) for r in stats})
-    by_sp: dict[int, int] = {}
-    for r in stats:
-        by_sp[int(r["sp"])] = by_sp.get(int(r["sp"]), 0) + int(r["n"])
-    counts = sorted(by_sp.items())
+        if not stats:
+            return BatchResult(batch_id, -1, 0, -1, 0, time.time() - t0)
+        if offset_range is None:
+            offset_range = (
+                min(int(r["lo"]) for r in stats),
+                max(int(r["hi"]) for r in stats),
+            )
+        affected = sorted({int(r["b"]) for r in stats})
+        by_sp: dict[int, int] = {}
+        for r in stats:
+            by_sp[int(r["sp"])] = by_sp.get(int(r["sp"]), 0) + int(r["n"])
+        counts = sorted(by_sp.items())
 
     if _covered(table.applied_ranges(stream_id), *offset_range):
         return BatchResult(
@@ -91,8 +101,8 @@ def apply_changes(
 
     # no pre-dedup: merge's union + max_by aggregation IS the last-writer-
     # wins reducer — deduping here first would shuffle the batch twice
-    version = table.merge(
-        events.drop("source_partition") if has_sp else events,
+    version, obs_counts = table.merge(
+        events,
         batch_id=batch_id,
         offset_range=offset_range,
         partition_counts=counts,
@@ -100,9 +110,38 @@ def apply_changes(
         t_start=t0,
         affected_buckets=affected,
     )
+    if counts is None:
+        counts = obs_counts or [(-1, 0)]
+    rows_in = sum(n for _, n in counts)
     return BatchResult(
         batch_id, version, offset_range[0], offset_range[1], rows_in, time.time() - t0
     )
+
+
+def lsn_range_from_footers(path: str) -> tuple[int, int] | None:
+    """LSN range of a log segment from parquet footer statistics —
+    driver-side milliseconds, no Spark job. Binlog segments carry their
+    offset range in metadata, exactly like real binlog files carry their
+    LSN span in the header."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    lo = hi = None
+    for f in os.listdir(path):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        if "lsn" not in idx:
+            return None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx["lsn"]).statistics
+            if st is None or not st.has_min_max:
+                return None
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+    return None if lo is None else (int(lo), int(hi))
 
 
 def replay_chunks(
@@ -113,14 +152,22 @@ def replay_chunks(
 ) -> list[BatchResult]:
     """Replay an ordered on-disk change log chunk by chunk, resumably.
 
-    Already-applied chunks are skipped via the snapshot ledger, so calling
-    this after a crash (or calling it twice) converges to the same table
-    state — the replay-certification invariant of BASELINE.json.
+    Already-applied chunks are skipped via the snapshot ledger — using the
+    segment's footer-derived LSN range, so a skipped chunk costs zero
+    Spark jobs. Calling this after a crash (or calling it twice) converges
+    to the same table state — the replay-certification invariant of
+    BASELINE.json.
     """
     results = []
     for i, path in enumerate(sorted(chunk_paths)):
         events = spark.read.parquet(path)
         results.append(
-            apply_changes(events, table, batch_id=i, stream_id=stream_id)
+            apply_changes(
+                events,
+                table,
+                batch_id=i,
+                stream_id=stream_id,
+                offset_range=lsn_range_from_footers(path),
+            )
         )
     return results

@@ -1,0 +1,118 @@
+"""IcebergTable — the same table contract as SnapshotTable over a real
+Iceberg catalog, for clusters that ship the Iceberg Spark runtime jar
+(none in this sandbox — import/config gated, untestable here by design;
+SnapshotTable is the tested stand-in with identical semantics).
+
+Launch configuration (SURVEY.md §4.3 "config, not code")::
+
+    spark-submit \
+      --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver> \
+      --conf spark.sql.extensions=org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions \
+      --conf spark.sql.catalog.lake=org.apache.iceberg.spark.SparkCatalog \
+      --conf spark.sql.catalog.lake.type=hadoop \
+      --conf spark.sql.catalog.lake.warehouse=s3://.../warehouse \
+      ...
+
+Exactly-once: the applied-LSN-range ledger and per-batch lineage are
+written as Iceberg snapshot summary properties in the SAME commit as the
+data (`CommitMetadata.withCommitProperties` in the Iceberg API;
+`snapshot-property.` SQL conf in pure-SQL form) — the same
+atomic (data + offsets) contract SnapshotTable implements with its JSON
+log, per SURVEY.md §7.5 "Atomicity of offset+snapshot commit".
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+
+from caterpillar_spark.sinks.snapshot_table import _covered, _merge_ranges
+
+APPLIED_PROP = "caterpillar.applied-ranges"
+LINEAGE_PROP = "caterpillar.lineage"
+
+
+class IcebergTable:
+    """Same merge/read/applied_ranges surface as SnapshotTable."""
+
+    def __init__(self, spark: SparkSession, identifier: str):
+        self.spark = spark
+        self.identifier = identifier  # e.g. "lake.db.transcripts"
+        if not spark.conf.get("spark.sql.extensions", "").count("Iceberg"):
+            raise RuntimeError(
+                "Iceberg session extensions not configured; add the "
+                "iceberg-spark-runtime package and catalog conf (see module "
+                "docstring), or use sinks.SnapshotTable"
+            )
+
+    # ------------------------------------------------------------- reads
+    def read(self) -> DataFrame:
+        return self.spark.table(self.identifier)
+
+    def _latest_summary(self) -> dict:
+        rows = (
+            self.spark.sql(
+                f"SELECT summary FROM {self.identifier}.snapshots "
+                "ORDER BY committed_at DESC LIMIT 1"
+            )
+        ).collect()
+        return dict(rows[0]["summary"]) if rows else {}
+
+    def applied_ranges(self, stream_id: str = "default") -> list[list[int]]:
+        raw = self._latest_summary().get(APPLIED_PROP)
+        return json.loads(raw).get(stream_id, []) if raw else []
+
+    # ------------------------------------------------------------- merge
+    def merge(
+        self,
+        updates: DataFrame,
+        batch_id: int,
+        offset_range: tuple[int, int],
+        partition_counts: list[tuple[int, int]] | None = None,
+        stream_id: str = "default",
+        t_start: float | None = None,
+        affected_buckets: list[int] | None = None,
+    ) -> int:
+        lo, hi = offset_range
+        prior = self.applied_ranges(stream_id)
+        if _covered(prior, lo, hi):
+            return -1
+        applied = {stream_id: _merge_ranges(prior + [[lo, hi]])}
+        lineage = [
+            {"batch_id": batch_id, "partition": p, "rows_applied": n,
+             "offset_start": lo, "offset_end": hi}
+            for p, n in (partition_counts or [])
+        ]
+        # snapshot summary props ride the MERGE commit atomically
+        self.spark.conf.set(
+            f"spark.wap.snapshot-property.{APPLIED_PROP}", json.dumps(applied)
+        )
+        self.spark.conf.set(
+            f"spark.wap.snapshot-property.{LINEAGE_PROP}", json.dumps(lineage)
+        )
+        updates.createOrReplaceTempView("_caterpillar_updates")
+        self.spark.sql(
+            f"""
+            MERGE INTO {self.identifier} t
+            USING (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS _rn
+                FROM _caterpillar_updates
+              ) WHERE _rn = 1
+            ) u
+            ON t.conv_id = u.conv_id AND t.turn_idx = u.turn_idx
+            WHEN MATCHED AND u.op = 'D' THEN DELETE
+            WHEN MATCHED THEN UPDATE SET
+              t.role = u.role, t.text = u.text, t.tool = u.tool, t.ts = u.ts
+            WHEN NOT MATCHED AND u.op <> 'D' THEN INSERT
+              (conv_id, turn_idx, role, text, tool, ts)
+              VALUES (u.conv_id, u.turn_idx, u.role, u.text, u.tool, u.ts)
+            """
+        )
+        snap = self.spark.sql(
+            f"SELECT snapshot_id FROM {self.identifier}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        return int(snap[0]["snapshot_id"]) if snap else 0

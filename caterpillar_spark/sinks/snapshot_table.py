@@ -270,11 +270,17 @@ class SnapshotTable:
         stream_id: str = "default",
         t_start: float | None = None,
         affected_buckets: list[int] | None = None,
-    ) -> int:
+        observe_partitions: int = 32,
+    ) -> tuple[int, list[tuple[int, int]] | None]:
         """Apply a change batch (``op`` + ``lsn`` columns; multiple events
         per key allowed — the merge aggregation is itself the last-writer-
-        wins reducer). Returns the committed snapshot version, or
-        -1 if the offset range was already applied (idempotent no-op).
+        wins reducer). Returns ``(version, observed_counts)``: version -1
+        if the offset range was already applied (idempotent no-op).
+
+        If ``partition_counts`` is None, per-source-partition lineage
+        counts are collected by ``observe()`` DURING the merge job (zero
+        extra passes) for partition ids in [0, observe_partitions); the
+        remainder lands in a catch-all -1 row.
 
         Semantics = Iceberg ``MERGE INTO t USING u ON key WHEN MATCHED AND
         op='D' THEN DELETE / WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED AND
@@ -286,7 +292,37 @@ class SnapshotTable:
         lo, hi = offset_range
         prior = snap.applied.get(stream_id, [])
         if _covered(prior, lo, hi):
-            return -1  # exactly-once: already applied
+            return -1, None  # exactly-once: already applied
+
+        # ---- lineage-by-observation (no extra pass) ---------------------
+        observation = None
+        if partition_counts is None:
+            from pyspark.sql import Observation
+
+            has_sp = "source_partition" in updates.columns
+            sp = (
+                F.col("source_partition") if has_sp else F.lit(-1)
+            )
+            observation = Observation(f"lineage_b{batch_id}")
+            metrics = [
+                F.sum(
+                    F.when(sp == i, 1).otherwise(0)
+                ).alias(f"p{i}")
+                for i in range(observe_partitions if has_sp else 0)
+            ]
+            metrics.append(
+                F.sum(
+                    F.when(
+                        (sp < 0) | (sp >= observe_partitions), 1
+                    ).otherwise(0)
+                ).alias("rest")
+            )
+            updates = updates.observe(observation, *metrics)
+        updates = (
+            updates.drop("source_partition")
+            if "source_partition" in updates.columns
+            else updates
+        )
 
         # ---- schema evolution (additive) --------------------------------
         table_schema = self.payload_schema(snap)
@@ -365,8 +401,17 @@ class SnapshotTable:
 
         # ---- lineage + ledger -------------------------------------------
         t1 = time.time()
+        obs_counts: list[tuple[int, int]] | None = None
         if partition_counts is None:
-            partition_counts = [(-1, updates.count())]
+            got = observation.get  # blocks until the write action's metrics
+            obs_counts = [
+                (int(k[1:]), int(v))
+                for k, v in got.items()
+                if k.startswith("p") and v
+            ]
+            if got.get("rest"):
+                obs_counts.append((-1, int(got["rest"])))
+            partition_counts = sorted(obs_counts) or [(-1, 0)]
         lineage = [
             asdict(
                 LineageEntry(
@@ -395,7 +440,7 @@ class SnapshotTable:
                 properties=snap.properties,
             )
         )
-        return new_version
+        return new_version, obs_counts
 
     # ------------------------------------------------------------ compact
     def compact(self, drop_tombstones: bool = True) -> int:
