@@ -231,9 +231,14 @@ class SnapshotTable:
             df = df.filter(F.col("_b").isin([int(b) for b in bucket_ids]))
         return df
 
-    def read(self, include_deleted: bool = False) -> DataFrame:
-        """Current table state (live rows, payload columns only)."""
-        snap = self.snapshot()
+    def read(
+        self, include_deleted: bool = False, version: int | None = None
+    ) -> DataFrame:
+        """Table state (live rows, payload columns only). ``version`` time-
+        travels to an older snapshot — every snapshot's file set is
+        immutable, so historical reads are free (same as Iceberg's
+        ``VERSION AS OF``)."""
+        snap = self.snapshot(version)
         df = self._read_buckets(snap, list(range(self.n_buckets)))
         if not include_deleted:
             df = df.filter(~F.col("_deleted"))

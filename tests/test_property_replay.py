@@ -1,0 +1,109 @@
+"""Property-based replay certification (hypothesis): for ARBITRARY small
+change streams (any op mix, any chunking), engine final state ==
+independent pandas reduction, and replay is idempotent.
+
+Complements the seeded-generator tests: hypothesis explores op orderings
+the generator never emits (delete-then-reinsert, upsert-only keys,
+single-event keys, all-delete keys...)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import types as T
+
+from caterpillar_spark.cdc import apply_changes
+from caterpillar_spark.sinks.snapshot_table import SnapshotTable
+
+PAYLOAD = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("lsn", T.LongType()),
+        T.StructField("op", T.StringType()),
+        *PAYLOAD.fields,
+    ]
+)
+
+
+@st.composite
+def change_stream(draw):
+    n = draw(st.integers(min_value=1, max_value=40))
+    events = []
+    for lsn in range(n):
+        op = draw(st.sampled_from(["I", "U", "D", "UP"]))
+        conv = f"c{draw(st.integers(0, 4))}"
+        turn = draw(st.integers(0, 3))
+        text = None if op == "D" else f"t-{lsn}-{draw(st.integers(0, 9))}"
+        events.append(
+            (
+                lsn,
+                op,
+                conv,
+                turn,
+                None if op == "D" else "user",
+                text,
+                None,
+                dt.datetime(2024, 1, 1) + dt.timedelta(seconds=lsn),
+            )
+        )
+    n_chunks = draw(st.integers(min_value=1, max_value=3))
+    return events, n_chunks
+
+
+def _expected(events):
+    pdf = pd.DataFrame(
+        events, columns=["lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    last = pdf.loc[pdf.groupby(["conv_id", "turn_idx"])["lsn"].idxmax()]
+    live = last[last["op"] != "D"]
+    return sorted(
+        (r.conv_id, r.turn_idx, r.text) for r in live.itertuples()
+    )
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(change_stream())
+def test_any_stream_reduces_correctly(spark, tmp_path_factory, stream):
+    events, n_chunks = stream
+    tmp = tmp_path_factory.mktemp("prop")
+    tbl = SnapshotTable(spark, str(tmp / "t"), n_buckets=4).create(PAYLOAD)
+    sz = (len(events) + n_chunks - 1) // n_chunks
+    for i in range(n_chunks):
+        chunk = events[i * sz : (i + 1) * sz]
+        if not chunk:
+            continue
+        df = spark.createDataFrame(chunk, EVENT_SCHEMA)
+        apply_changes(df, tbl, batch_id=i)
+    got = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in tbl.read().collect()
+    )
+    assert got == _expected(events)
+    # idempotence: re-apply every chunk; state unchanged
+    for i in range(n_chunks):
+        chunk = events[i * sz : (i + 1) * sz]
+        if not chunk:
+            continue
+        apply_changes(spark.createDataFrame(chunk, EVENT_SCHEMA), tbl, batch_id=i)
+    again = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in tbl.read().collect()
+    )
+    assert again == got
