@@ -307,6 +307,28 @@ def q_distinct_count(spark, sf_dir):
     )
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (classic event-stream op): a new session
+    starts after >1h of user inactivity. Exact µs arithmetic both engines."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))  # parquet stores NTZ
+    gap_us = us - F.lag(us, 1).over(w)
+    is_new = F.when(gap_us.isNull() | (gap_us > 3_600_000_000), 1).otherwise(0)
+    return (
+        ev.withColumn("_new", is_new)
+        .withColumn(
+            "session_idx",
+            F.sum("_new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .select("user_id", "event_id", "session_idx")
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     from caterpillar_spark.operators.docs import exact_dedup
 
@@ -464,6 +486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup": q_rollup,
         "pivot": q_pivot,
         "window_lag": q_window_lag,
+        "sessionize": q_sessionize,
         "topk_per_group": q_topk_per_group,
         "distinct_count": q_distinct_count,
         "dedup_exact": q_dedup_exact,
@@ -621,6 +644,24 @@ def oracle_sql() -> dict[str, str]:
                  event_id - lag(event_id, 1) OVER (
                    PARTITION BY user_id ORDER BY event_id) AS gap
           FROM events
+        """,
+        "sessionize": """
+          SELECT user_id, event_id,
+                 sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS session_idx
+          FROM (
+            SELECT user_id, event_id,
+                   CASE WHEN gap_us IS NULL OR gap_us > 3600000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM (
+              SELECT user_id, event_id,
+                     epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+                       PARTITION BY user_id ORDER BY event_id) AS gap_us
+              FROM events
+            )
+          )
         """,
         "topk_per_group": """
           SELECT user_id, event_id, value, CAST(rk AS INTEGER) AS rk FROM (
