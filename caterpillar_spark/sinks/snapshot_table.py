@@ -447,6 +447,31 @@ class SnapshotTable:
         )
         return new_version, obs_counts
 
+    # ------------------------------------------------------------ expire
+    def expire_snapshots(self, keep_last: int = 10) -> list[str]:
+        """Delete data directories referenced ONLY by snapshots older than
+        the ``keep_last`` most recent (Iceberg's expire_snapshots).
+        Snapshot JSONs are kept (they are tiny and hold the lineage
+        history); their data becomes unreadable. Returns removed dirs."""
+        import shutil
+
+        current = self.current_version()
+        keep_versions = range(max(0, current - keep_last + 1), current + 1)
+        live_dirs: set[str] = set()
+        for v in keep_versions:
+            snap = self.snapshot(v)
+            for files in snap.buckets.values():
+                live_dirs.update(os.path.dirname(f) for f in files)
+        data_root = os.path.join(self.root, "data")
+        removed = []
+        if os.path.isdir(data_root):
+            for d in sorted(os.listdir(data_root)):
+                full = os.path.join(data_root, d)
+                if full not in live_dirs:
+                    shutil.rmtree(full, ignore_errors=True)
+                    removed.append(full)
+        return removed
+
     # ------------------------------------------------------------ compact
     def compact(self, drop_tombstones: bool = True) -> int:
         """Rewrite all buckets (small-file compaction; optionally purge
