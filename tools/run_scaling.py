@@ -66,6 +66,10 @@ def main() -> None:
     # measures the engine rather than the host's memory subsystem
     ap.add_argument("--n", type=int, default=2)
     ap.add_argument("--no-tmpfs", dest="tmpfs", action="store_false")
+    # the hypervisor throttles under sustained load (every record's FIRST
+    # pair measures best); a cooldown between rounds keeps the host budget
+    # comparable across pairs
+    ap.add_argument("--cooldown", type=int, default=0)
     args = ap.parse_args()
     pair = (args.n, 4 * args.n)
 
@@ -99,6 +103,8 @@ def main() -> None:
                 flush=True,
             )
         pair_effs.append((round_rate[pair[1]] / round_rate[pair[0]]) / 4)
+        if args.cooldown and r < args.rounds - 1:
+            time.sleep(args.cooldown)
 
     lo, hi = pair
     summary = {
