@@ -361,6 +361,15 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs -> connected components -> cluster labels (rows-only:
+    iterative label propagation is not single-statement-SQL-expressible)."""
+    from caterpillar_spark.operators.docs import dedup_clusters, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+    return dedup_clusters(pairs)
+
+
 def q_lang_id(spark, sf_dir):
     from caterpillar_spark.operators.docs import lang_id
 
@@ -494,6 +503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_count": q_token_count,

@@ -204,6 +204,68 @@ def ngram_jaccard_pairs(
     return out
 
 
+# ----------------------------------------------------------- dup clustering
+@register("dedup_clusters")
+def dedup_clusters(
+    pairs: DataFrame,
+    max_iterations: int = 20,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Near-dup candidate pairs -> duplicate clusters (connected
+    components) -> ``(id, cluster_id)`` with cluster_id = min member id.
+
+    Distributed min-label propagation: each node repeatedly adopts the
+    smallest label among itself and its neighbors; converges in
+    O(log(diameter)) rounds (dedup clusters are tiny, so 2-3 rounds in
+    practice). Each round is one join + one hash agg; iteration stops
+    early on a driver-checked convergence count. The follow-up "keep one
+    representative per cluster" is ``filter(id == cluster_id)``.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("a"), F.col(a_col).alias("b"))
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+    )
+    edges = edges.persist()
+    labels = labels.persist()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 # ------------------------------------------------------------- text analysis
 @register("lang_id")
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

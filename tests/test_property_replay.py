@@ -77,6 +77,7 @@ def _expected(events):
 @settings(
     max_examples=12,
     deadline=None,
+    derandomize=True,  # CI stability: same examples every run
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
 )
 @given(change_stream())
