@@ -273,6 +273,26 @@ def q_pivot(spark, sf_dir):
     )
 
 
+def q_cube(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
+
+
+def q_intersect_except(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    both = clickers.intersect(buyers).select(
+        "user_id", F.lit("both").alias("grp")
+    )
+    # subtract = EXCEPT DISTINCT (set semantics; exceptAll would keep a
+    # user who clicked 3x and purchased once)
+    click_only = clickers.subtract(buyers).select(
+        "user_id", F.lit("click_only").alias("grp")
+    )
+    return both.unionByName(click_only)
+
+
 def q_window_lag(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -493,6 +513,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_3way": q_join_3way,
         "semi_anti_join": q_semi_anti_join,
         "rollup": q_rollup,
+        "cube": q_cube,
+        "intersect_except": q_intersect_except,
         "pivot": q_pivot,
         "window_lag": q_window_lag,
         "sessionize": q_sessionize,
@@ -640,6 +662,22 @@ def oracle_sql() -> dict[str, str]:
         "rollup": """
           SELECT l_returnflag, l_linestatus, count(*) AS n
           FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "cube": """
+          SELECT l_returnflag, l_linestatus, count(*) AS n
+          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "intersect_except": """
+          SELECT user_id, 'both' AS grp FROM (
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+          )
+          UNION ALL
+          SELECT DISTINCT user_id, 'click_only' AS grp FROM events e
+          WHERE event_type = 'click'
+            AND user_id NOT IN (
+              SELECT user_id FROM events WHERE event_type = 'purchase')
         """,
         "pivot": """
           SELECT user_id,
