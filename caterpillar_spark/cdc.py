@@ -47,6 +47,7 @@ def apply_changes(
     stream_id: str = "default",
     offset_range: tuple[int, int] | None = None,
     prune: bool | None = None,
+    mode: str = "auto",
 ) -> BatchResult:
     """Apply one ordered change-event batch to the table, exactly once.
 
@@ -55,21 +56,22 @@ def apply_changes(
     - ``offset_range`` known up front (binlog segments carry their LSN
       range in parquet footers — see ``replay_chunks``): the ledger check
       happens with ZERO Spark jobs, and per-partition lineage counts are
-      collected by ``observe()`` DURING the merge job. One scan total.
-    - ``offset_range`` unknown (ad-hoc batch): one pruned statistics pass
-      (only source_partition/conv_id/lsn columns) derives range + lineage
-      + affected buckets, then the merge job runs. Two scans, the first
-      narrow.
+      collected by ``observe()`` DURING the merge job; the merge's own
+      narrow stats scan derives per-bucket key ranges for file pruning.
+    - ``offset_range`` unknown (ad-hoc batch) or ``prune=True``: one pruned
+      statistics pass (source_partition/conv_id/lsn columns only) derives
+      range + lineage + per-bucket key stats in a single scan, which the
+      merge then consumes with zero additional passes.
 
-    ``prune``: read only affected buckets (worth a stats pass for small
-    incremental batches); default automatically prunes only when the
-    offset range had to be computed anyway.
+    ``mode`` forwards to :meth:`SnapshotTable.merge` — ``auto`` (default)
+    picks merge-on-read delta appends for small batches and file-pruned
+    copy-on-write for bulk ones.
     """
     t0 = time.time()
     has_sp = "source_partition" in events.columns
     sp_col = F.col("source_partition") if has_sp else F.lit(-1)
     counts: list[tuple[int, int]] | None = None
-    affected: list[int] | None = None
+    incoming: dict[int, tuple[str | None, str | None, int]] | None = None
 
     if offset_range is None or (prune is True):
         stats = (
@@ -78,6 +80,8 @@ def apply_changes(
                 F.count("*").alias("n"),
                 F.min("lsn").alias("lo"),
                 F.max("lsn").alias("hi"),
+                F.min("conv_id").alias("klo"),
+                F.max("conv_id").alias("khi"),
             )
             .collect()
         )
@@ -88,7 +92,15 @@ def apply_changes(
                 min(int(r["lo"]) for r in stats),
                 max(int(r["hi"]) for r in stats),
             )
-        affected = sorted({int(r["b"]) for r in stats})
+        incoming = {}
+        for r in stats:
+            b = int(r["b"])
+            klo, khi, n = incoming.get(b, (None, None, 0))
+            incoming[b] = (
+                r["klo"] if klo is None else min(klo, r["klo"]),
+                r["khi"] if khi is None else max(khi, r["khi"]),
+                n + int(r["n"]),
+            )
         by_sp: dict[int, int] = {}
         for r in stats:
             by_sp[int(r["sp"])] = by_sp.get(int(r["sp"]), 0) + int(r["n"])
@@ -108,7 +120,8 @@ def apply_changes(
         partition_counts=counts,
         stream_id=stream_id,
         t_start=t0,
-        affected_buckets=affected,
+        incoming_stats=incoming,
+        mode=mode,
     )
     if counts is None:
         counts = obs_counts or [(-1, 0)]
@@ -149,6 +162,7 @@ def replay_chunks(
     chunk_paths: list[str],
     table: SnapshotTable,
     stream_id: str = "default",
+    mode: str = "auto",
 ) -> list[BatchResult]:
     """Replay an ordered on-disk change log chunk by chunk, resumably.
 
@@ -157,10 +171,19 @@ def replay_chunks(
     Spark jobs. Calling this after a crash (or calling it twice) converges
     to the same table state — the replay-certification invariant of
     BASELINE.json.
+
+    The stream schema is inferred ONCE from the latest chunk (segments may
+    gain columns mid-stream — additive evolution — so the newest footer has
+    the union schema) and pinned for every read: no per-chunk footer
+    inference on the driver's serial path.
     """
     results = []
-    for i, path in enumerate(sorted(chunk_paths)):
-        events = spark.read.parquet(path)
+    paths = sorted(chunk_paths)
+    if not paths:
+        return results
+    schema = spark.read.parquet(paths[-1]).schema
+    for i, path in enumerate(paths):
+        events = spark.read.schema(schema).parquet(path)
         results.append(
             apply_changes(
                 events,
@@ -168,6 +191,7 @@ def replay_chunks(
                 batch_id=i,
                 stream_id=stream_id,
                 offset_range=lsn_range_from_footers(path),
+                mode=mode,
             )
         )
     return results

@@ -35,9 +35,13 @@ def validate_change_events(events: DataFrame) -> SplitResult:
     - (conv_id, turn_idx) must be non-null
     - non-delete events must carry text
     """
+    # NULL op must be caught explicitly: under three-valued logic
+    # ~isin(...) is NULL (not true) for NULL input, so a bare negation
+    # would classify a null-op event as valid and the merge's
+    # (op == 'D') tombstone predicate would silently swallow the row.
     reason = (
         F.when(F.col("lsn").isNull() | (F.col("lsn") < 0), "bad_lsn")
-        .when(~F.col("op").isin(*VALID_OPS), "bad_op")
+        .when(F.col("op").isNull() | ~F.col("op").isin(*VALID_OPS), "bad_op")
         .when(F.col("conv_id").isNull() | F.col("turn_idx").isNull(), "null_key")
         .when((F.col("op") != "D") & F.col("text").isNull(), "null_payload")
         .otherwise(None)

@@ -34,7 +34,11 @@ LINEAGE_PROP = "caterpillar.lineage"
 
 
 class IcebergTable:
-    """Same merge/read/applied_ranges surface as SnapshotTable."""
+    """Same merge/read/applied_ranges surface as SnapshotTable.
+
+    The Iceberg table must carry an ``lsn BIGINT`` column alongside the
+    payload (it is the LWW version guard — the analogue of SnapshotTable's
+    stored ``_lsn``); ``read()`` exposes it so replays are auditable."""
 
     def __init__(self, spark: SparkSession, identifier: str):
         self.spark = spark
@@ -75,10 +79,16 @@ class IcebergTable:
         affected_buckets: list[int] | None = None,
     ) -> int:
         lo, hi = offset_range
-        prior = self.applied_ranges(stream_id)
+        # full-summary read, not just this stream: a commit rewriting the
+        # ledger with ONLY the current stream would erase other streams'
+        # applied ranges (each commit snapshot-props replace the property)
+        summary = self._latest_summary()
+        raw = summary.get(APPLIED_PROP)
+        applied: dict = json.loads(raw) if raw else {}
+        prior = applied.get(stream_id, [])
         if _covered(prior, lo, hi):
             return -1
-        applied = {stream_id: _merge_ranges(prior + [[lo, hi]])}
+        applied[stream_id] = _merge_ranges(prior + [[lo, hi]])
         lineage = [
             {"batch_id": batch_id, "partition": p, "rows_applied": n,
              "offset_start": lo, "offset_end": hi}
@@ -92,6 +102,11 @@ class IcebergTable:
             f"spark.wap.snapshot-property.{LINEAGE_PROP}", json.dumps(lineage)
         )
         updates.createOrReplaceTempView("_caterpillar_updates")
+        # lsn is STORED (t.lsn) and every matched arm carries `u.lsn > t.lsn`
+        # so a partially-overlapping re-delivered batch (ledger range not
+        # fully covered) can never overwrite newer rows with older values —
+        # the same LWW-over-stored-lsn semantics as SnapshotTable. Deletes
+        # are lsn-guarded too: a stale delete must not kill a newer row.
         self.spark.sql(
             f"""
             MERGE INTO {self.identifier} t
@@ -103,12 +118,14 @@ class IcebergTable:
               ) WHERE _rn = 1
             ) u
             ON t.conv_id = u.conv_id AND t.turn_idx = u.turn_idx
-            WHEN MATCHED AND u.op = 'D' THEN DELETE
-            WHEN MATCHED THEN UPDATE SET
-              t.role = u.role, t.text = u.text, t.tool = u.tool, t.ts = u.ts
+            WHEN MATCHED AND u.op = 'D' AND u.lsn > t.lsn THEN DELETE
+            WHEN MATCHED AND u.op <> 'D' AND u.lsn > t.lsn THEN UPDATE SET
+              t.role = u.role, t.text = u.text, t.tool = u.tool, t.ts = u.ts,
+              t.lsn = u.lsn
             WHEN NOT MATCHED AND u.op <> 'D' THEN INSERT
-              (conv_id, turn_idx, role, text, tool, ts)
-              VALUES (u.conv_id, u.turn_idx, u.role, u.text, u.tool, u.ts)
+              (conv_id, turn_idx, role, text, tool, ts, lsn)
+              VALUES (u.conv_id, u.turn_idx, u.role, u.text, u.tool, u.ts,
+                      u.lsn)
             """
         )
         snap = self.spark.sql(

@@ -6,18 +6,29 @@ additive schema evolution, tombstoned deletes, per-partition lineage.
 Layout::
 
     <root>/
-      _log/v000000000042.json     # snapshot files; commit = atomic create
-      data/v42/part-*.parquet     # flat files; snapshot maps bucket -> files
-                                  # (pid(b) = pmod(murmur3(b), n) is
-                                  # deterministic, so the writer needs no
-                                  # dynamic-partition committer — 3-5x faster)
+      _log/v000000000042.json        # snapshot files; commit = atomic create
+      data/v42-<token>/part-*.parquet  # ONE bucket per file (see routing);
+                                       # dir token is collision-free so a
+                                       # losing concurrent writer can never
+                                       # clobber a winner's committed files
+
+File/bucket invariant: every data file contains rows of EXACTLY ONE bucket.
+A flat ``repartition(n, _route)`` write normally spreads several buckets
+into one shuffle partition (pid(b) = pmod(murmur3(b), n) collides); here
+``_route`` is a precomputed inverse — for each bucket b an int r_b with
+``pmod(murmur3(r_b), n) == b`` — so shuffle partition b receives exactly
+bucket b and the part-file index IS the bucket id. That keeps the 3-5x
+cheaper flat write (no dynamic-partition committer) while making the
+bucket -> files pointers exact: no co-hashed stale rows can survive a
+bucket rewrite (the round-1 design leaked them).
 
 Concurrency/atomicity model (single writer, many readers — same posture as
-a Structured Streaming ``foreachBatch`` sink): a commit writes the data
-files first, then creates the next snapshot JSON with ``os.link`` (fails if
-the version already exists → optimistic-concurrency conflict, like
-Iceberg's commit protocol). Readers resolve the max committed version; a
-crashed writer leaves only unreferenced data files, never a torn table.
+a Structured Streaming ``foreachBatch`` sink): a commit writes its data
+files into a fresh uniquely-named directory first, then creates the next
+snapshot JSON with ``os.link`` (fails if the version already exists →
+optimistic-concurrency conflict, like Iceberg's commit protocol). A losing
+or crashed writer leaves only an unreferenced data dir (garbage-collected
+by ``expire_snapshots``), never a torn table.
 
 Exactly-once (the upgrade over the reference's store-offset-after-delivery
 at-least-once rule, ``internal/pkg/pipeline/task/kafka/kafka.go:288-293,
@@ -29,14 +40,20 @@ makes row-level merge idempotent and commutative under re-delivery as well;
 ``compact()`` physically drops tombstones later.
 
 Scale design (100 TB / 1000 executors):
-- rows hash-bucketed by ``conv_id`` into ``n_buckets`` fixed buckets; a
-  merge touches ONLY buckets containing changed keys (partition pruning at
-  the file level) and shuffles only the incoming batch + affected buckets,
-  never the whole table;
+- rows hash-bucketed by ``conv_id`` into ``n_buckets`` fixed buckets;
+- the snapshot records per-file key ranges (min/max ``conv_id``, the same
+  stats Iceberg keeps in manifests), so a merge prunes at FILE granularity:
+  only files whose key range overlaps the incoming batch are rewritten —
+  a 1%-of-keyspace batch rewrites ~1% of table bytes, not the whole table;
+- small batches take the **merge-on-read delta path**: the reduced batch is
+  appended as per-bucket delta files (write volume O(batch), zero table
+  rewrite); the read path LWW-reduces base∪delta by ``_lsn`` and
+  ``compact()`` folds deltas back into unique-key base files — Iceberg's
+  MoR/compaction lifecycle;
 - the merge reduction is a hash aggregate (``max_by``) with map-side
   partial combine — hot conv_ids pre-reduce before the shuffle;
-- snapshot JSON holds bucket→directory pointers, O(n_buckets) metadata,
-  no per-file listing on the read path.
+- snapshot JSON holds bucket→file pointers + per-file stats,
+  O(files) metadata, no directory listing on the read path.
 """
 
 from __future__ import annotations
@@ -73,11 +90,19 @@ class LineageEntry:
 class Snapshot:
     version: int
     schema_json: str  # Spark StructType json of PAYLOAD columns (no sys cols)
-    buckets: dict[str, list[str]]  # bucket id (str) -> data file paths
+    buckets: dict[str, list[str]]  # bucket id (str) -> base data file paths
     applied: dict[str, list[list[int]]]  # stream_id -> merged [lo, hi] ranges
     lineage: list[dict] = field(default_factory=list)  # this commit's entries
     parent: int | None = None
     properties: dict = field(default_factory=dict)
+    # bucket id (str) -> merge-on-read delta file paths (LWW by _lsn at read)
+    deltas: dict[str, list[str]] = field(default_factory=dict)
+    # file path -> {"min_key", "max_key", "rows"} (Iceberg-manifest-style
+    # column stats; None min/max => unknown => file always a merge candidate)
+    file_stats: dict[str, dict] = field(default_factory=dict)
+
+    def has_deltas(self) -> bool:
+        return any(self.deltas.values())
 
 
 MANIFEST_SCHEMA = T.StructType(
@@ -108,13 +133,65 @@ def _covered(ranges: list[list[int]], lo: int, hi: int) -> bool:
     return any(a <= lo and hi <= b for a, b in ranges)
 
 
+# --------------------------------------------------------------- routing
+def murmur3_hash_int(value: int, seed: int = 42) -> int:
+    """Spark's ``F.hash`` of a single int32 column: Murmur3_x86_32.hashInt
+    (the public MurmurHash3 algorithm, seed 42 — same constants as
+    org.apache.spark.unsafe.hash.Murmur3_x86_32). Signed-int32 result.
+    Pure Python so bucket routing needs ZERO Spark jobs; parity with the
+    JVM is pinned by a test."""
+    mask = 0xFFFFFFFF
+    k1 = (value & mask) * 0xCC9E2D51 & mask
+    k1 = ((k1 << 15) | (k1 >> 17)) & mask
+    k1 = k1 * 0x1B873593 & mask
+    h1 = (seed & mask) ^ k1
+    h1 = ((h1 << 13) | (h1 >> 19)) & mask
+    h1 = (h1 * 5 + 0xE6546B64) & mask
+    # fmix(h1, length=4)
+    h1 ^= 4
+    h1 ^= h1 >> 16
+    h1 = h1 * 0x85EBCA6B & mask
+    h1 ^= h1 >> 13
+    h1 = h1 * 0xC2B2AE35 & mask
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+_ROUTE_CACHE: dict[int, dict[int, int]] = {}
+
+
+def route_map(n_buckets: int) -> dict[int, int]:
+    """bucket b -> smallest int r with pmod(murmur3(r), n) == b, i.e. the
+    inverse of Spark's HashPartitioning for int keys: ``repartition(n,
+    route)`` lands bucket b in shuffle partition b exactly."""
+    cached = _ROUTE_CACHE.get(n_buckets)
+    if cached is None:
+        cached = {}
+        v = 0
+        while len(cached) < n_buckets:
+            b = murmur3_hash_int(v) % n_buckets
+            if b not in cached:
+                cached[b] = v
+            v += 1
+        _ROUTE_CACHE[n_buckets] = cached
+    return cached
+
+
+def _overlaps(stats: dict | None, klo: str | None, khi: str | None) -> bool:
+    """Conservative key-range overlap: unknown stats => candidate."""
+    if not stats or stats.get("min_key") is None or stats.get("max_key") is None:
+        return True
+    if klo is None or khi is None:
+        return True
+    return stats["max_key"] >= klo and stats["min_key"] <= khi
+
+
 class SnapshotTable:
     def __init__(self, spark: SparkSession, root: str, n_buckets: int = 64):
         self.spark = spark
         self.root = root
         self.n_buckets = n_buckets
         self._log_dir = os.path.join(root, "_log")
-        self._pid_cache: dict[int, int] | None = None
 
     # ------------------------------------------------------------- log io
     def _snap_path(self, v: int) -> str:
@@ -150,6 +227,13 @@ class SnapshotTable:
         finally:
             os.unlink(tmp)
 
+    def _new_data_dir(self, version: int) -> str:
+        # collision-free per writer: a losing concurrent committer's files
+        # can never overwrite the winner's (ADVICE r1: version-keyed dirs +
+        # mode("overwrite") let the loser destroy committed data). The token
+        # names a directory only — table DATA stays deterministic.
+        return os.path.join(self.root, "data", f"v{version}-{uuid.uuid4().hex[:12]}")
+
     # ------------------------------------------------------------- create
     def create(self, payload_schema: T.StructType) -> "SnapshotTable":
         if self.exists():
@@ -160,7 +244,7 @@ class SnapshotTable:
             buckets={},
             applied={},
             parent=None,
-            properties={"n_buckets": self.n_buckets},
+            properties={"n_buckets": self.n_buckets, "format": 2},
         )
         self._commit(snap)
         return self
@@ -181,55 +265,49 @@ class SnapshotTable:
             ]
         )
 
-    def _pid_of_bucket(self) -> dict[int, int]:
-        """bucket id -> shuffle partition id under repartition(n_buckets, _b).
-
-        Data files are written FLAT (a dynamic partitionBy writer costs
-        3-5x: per-directory committers + a sort) and bucket pruning instead
-        uses the fact that Spark's HashPartitioning is deterministic:
-        pid(b) = pmod(murmur3(b), n). Computed once via a tiny Spark job so
-        the constant (seed 42) stays in one place — Spark's own hash."""
-        if self._pid_cache is None:
-            rows = (
-                self.spark.range(self.n_buckets)
-                .select(
-                    F.col("id").cast("int").alias("b"),
-                    F.pmod(
-                        F.hash(F.col("id").cast("int")), F.lit(self.n_buckets)
-                    ).alias("p"),
-                )
-                .collect()
-            )
-            self._pid_cache = {int(r["b"]): int(r["p"]) for r in rows}
-        return self._pid_cache
-
-    @staticmethod
-    def _part_files_by_pid(data_dir: str) -> dict[int, list[str]]:
-        out: dict[int, list[str]] = {}
-        for f in os.listdir(data_dir):
-            if f.startswith("part-") and f.endswith(".parquet"):
-                pid = int(f.split("-")[1])
-                out.setdefault(pid, []).append(os.path.join(data_dir, f))
-        return out
-
-    def _read_buckets(self, snap: Snapshot, bucket_ids: list[int]) -> DataFrame:
-        """Read stored rows (incl. tombstones + sys cols) for the buckets.
+    def _read_files(self, snap: Snapshot, paths: list[str]) -> DataFrame:
+        """Raw stored rows (incl. tombstones + sys cols) of the given files.
 
         An explicit read schema makes additive evolution free: files written
-        before a column existed return null for it — no rewrite.
+        before a column existed return null for it — no rewrite. No bucket
+        filter is needed: every file holds exactly one bucket (routing
+        invariant), so the path list IS the bucket pruning.
         """
         schema = self._stored_schema(snap)
-        paths = sorted(
-            {p for b in bucket_ids for p in snap.buckets.get(str(b), [])}
-        )
         if not paths:
             return self.spark.createDataFrame([], schema)
-        df = self.spark.read.schema(schema).parquet(*paths)
-        if len(bucket_ids) < self.n_buckets:
-            # a flat file can hold several co-hashed buckets; the pushed-down
-            # _b filter restores exact bucket pruning
-            df = df.filter(F.col("_b").isin([int(b) for b in bucket_ids]))
-        return df
+        return self.spark.read.schema(schema).parquet(*sorted(set(paths)))
+
+    def _bucket_paths(
+        self, snap: Snapshot, bucket_ids: list[int], include_deltas: bool = True
+    ) -> list[str]:
+        out = [p for b in bucket_ids for p in snap.buckets.get(str(b), [])]
+        if include_deltas:
+            out += [p for b in bucket_ids for p in snap.deltas.get(str(b), [])]
+        return out
+
+    def _lww_reduce(self, df: DataFrame, payload_cols: list[str]) -> DataFrame:
+        """The last-writer-wins reducer: per key keep the max-``_lsn`` row.
+        Hash agg with map-side partial combine — the merge semantics of
+        Iceberg ``MERGE INTO ... WHEN MATCHED`` expressed as one aggregate
+        (SURVEY.md §7.2)."""
+        nonkey = [c for c in payload_cols if c not in KEY]
+        return (
+            df.groupBy(*KEY)
+            .agg(
+                F.max_by(
+                    F.struct(*nonkey, "_deleted", "_b"), F.col("_lsn")
+                ).alias("_w"),
+                F.max("_lsn").alias("_lsn"),
+            )
+            .select(
+                *KEY,
+                *[F.col(f"_w.{c}").alias(c) for c in nonkey],
+                "_lsn",
+                F.col("_w._deleted").alias("_deleted"),
+                F.col("_w._b").alias("_b"),
+            )
+        )
 
     def read(
         self, include_deleted: bool = False, version: int | None = None
@@ -237,9 +315,16 @@ class SnapshotTable:
         """Table state (live rows, payload columns only). ``version`` time-
         travels to an older snapshot — every snapshot's file set is
         immutable, so historical reads are free (same as Iceberg's
-        ``VERSION AS OF``)."""
+        ``VERSION AS OF``). If the snapshot carries merge-on-read deltas,
+        the read LWW-reduces base∪delta by ``_lsn`` (one hash agg); a
+        delta-free snapshot is key-unique by construction and reads with
+        zero reduction."""
         snap = self.snapshot(version)
-        df = self._read_buckets(snap, list(range(self.n_buckets)))
+        df = self._read_files(
+            snap, self._bucket_paths(snap, list(range(self.n_buckets)))
+        )
+        if snap.has_deltas():
+            df = self._lww_reduce(df, [f.name for f in self.payload_schema(snap)])
         if not include_deleted:
             df = df.filter(~F.col("_deleted"))
         return df.drop(*_SYS_COLS) if not include_deleted else df
@@ -260,12 +345,71 @@ class SnapshotTable:
     def applied_ranges(self, stream_id: str = "default") -> list[list[int]]:
         return self.snapshot().applied.get(stream_id, [])
 
-    # -------------------------------------------------------------- merge
+    # -------------------------------------------------------------- write
     def bucket_expr(self) -> F.Column:
         return F.pmod(F.xxhash64(F.col("conv_id")), F.lit(self.n_buckets)).cast("int")
 
     _bucket_col = bucket_expr
 
+    def _route_expr(self) -> F.Column:
+        rm = route_map(self.n_buckets)
+        pairs = []
+        for b in range(self.n_buckets):
+            pairs += [F.lit(b), F.lit(rm[b])]
+        return F.element_at(F.create_map(*pairs), F.col("_b"))
+
+    def _write_bucketed(self, df: DataFrame, data_dir: str) -> dict[int, list[str]]:
+        """Flat parquet write where shuffle partition b == bucket b (via the
+        ``_route`` inverse-hash column), so file index == bucket id. Returns
+        bucket -> new file paths. AQE never coalesces an explicit
+        ``repartition(n, col)`` (REPARTITION_BY_NUM), so the mapping holds."""
+        (
+            df.withColumn("_route", self._route_expr())
+            .repartition(self.n_buckets, F.col("_route"))
+            .drop("_route")
+            .write.mode("errorifexists")
+            .parquet(data_dir)
+        )
+        out: dict[int, list[str]] = {}
+        for f in os.listdir(data_dir):
+            if f.startswith("part-") and f.endswith(".parquet"):
+                out.setdefault(int(f.split("-")[1]), []).append(
+                    os.path.join(data_dir, f)
+                )
+        return out
+
+    @staticmethod
+    def _collect_file_stats(paths: list[str]) -> dict[str, dict]:
+        """Per-file (min_key, max_key, rows) from parquet footers —
+        driver-side milliseconds, the stats an Iceberg writer would put in
+        the manifest. Parquet string stats may be truncated-but-safe
+        (min is a ≤-prefix, max is padded up), which pruning tolerates."""
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict] = {}
+        for p in paths:
+            md = pq.ParquetFile(p).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            lo = hi = None
+            ok = "conv_id" in idx
+            if ok:
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx["conv_id"]).statistics
+                    if st is None or not st.has_min_max:
+                        ok = False
+                        break
+                    mn = st.min.decode() if isinstance(st.min, bytes) else st.min
+                    mx = st.max.decode() if isinstance(st.max, bytes) else st.max
+                    lo = mn if lo is None else min(lo, mn)
+                    hi = mx if hi is None else max(hi, mx)
+            out[p] = {
+                "min_key": lo if ok else None,
+                "max_key": hi if ok else None,
+                "rows": md.num_rows,
+            }
+        return out
+
+    # -------------------------------------------------------------- merge
     def merge(
         self,
         updates: DataFrame,
@@ -274,23 +418,40 @@ class SnapshotTable:
         partition_counts: list[tuple[int, int]] | None = None,
         stream_id: str = "default",
         t_start: float | None = None,
-        affected_buckets: list[int] | None = None,
+        incoming_stats: dict[int, tuple[str | None, str | None, int]] | None = None,
         observe_partitions: int = 32,
+        mode: str = "auto",
+        delta_threshold: float = 3.0,
     ) -> tuple[int, list[tuple[int, int]] | None]:
         """Apply a change batch (``op`` + ``lsn`` columns; multiple events
         per key allowed — the merge aggregation is itself the last-writer-
         wins reducer). Returns ``(version, observed_counts)``: version -1
         if the offset range was already applied (idempotent no-op).
 
-        If ``partition_counts`` is None, per-source-partition lineage
-        counts are collected by ``observe()`` DURING the merge job (zero
-        extra passes) for partition ids in [0, observe_partitions); the
-        remainder lands in a catch-all -1 row.
+        ``incoming_stats``: per-bucket ``(min_key, max_key, rows)`` of the
+        batch if the caller already computed them (``apply_changes`` folds
+        this into its lineage stats pass); otherwise one narrow scan here.
+
+        ``mode``:
+        - ``"cow"``   — copy-on-write: rewrite only the files whose key
+          range overlaps the batch (file-level pruning via the snapshot's
+          per-file stats); untouched files stay referenced.
+        - ``"delta"`` — merge-on-read: append the batch (reduced to one row
+          per key) as per-bucket delta files; zero table rewrite. Reads
+          LWW-reduce until ``compact()``.
+        - ``"auto"``  — delta when the files a CoW would rewrite hold more
+          than ``delta_threshold``× the incoming rows, else CoW. Small
+          incremental batches against a big table take the O(batch) path;
+          bulk loads take the pre-reduced path.
+
+        Either path commits data + offset ledger + lineage in ONE atomic
+        snapshot create. If ``partition_counts`` is None, per-source-
+        partition lineage counts are collected by ``observe()`` DURING the
+        merge job (zero extra passes).
 
         Semantics = Iceberg ``MERGE INTO t USING u ON key WHEN MATCHED AND
         op='D' THEN DELETE / WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED AND
-        op<>'D' THEN INSERT`` (SURVEY.md §7.2), implemented as a bucket-local
-        union + max_by reduction over (stored ∪ incoming) rows.
+        op<>'D' THEN INSERT`` (SURVEY.md §7.2) under LWW-by-``lsn``.
         """
         t0 = t_start if t_start is not None else time.time()
         snap = self.snapshot()
@@ -305,21 +466,15 @@ class SnapshotTable:
             from pyspark.sql import Observation
 
             has_sp = "source_partition" in updates.columns
-            sp = (
-                F.col("source_partition") if has_sp else F.lit(-1)
-            )
+            sp = F.col("source_partition") if has_sp else F.lit(-1)
             observation = Observation(f"lineage_b{batch_id}")
             metrics = [
-                F.sum(
-                    F.when(sp == i, 1).otherwise(0)
-                ).alias(f"p{i}")
+                F.sum(F.when(sp == i, 1).otherwise(0)).alias(f"p{i}")
                 for i in range(observe_partitions if has_sp else 0)
             ]
             metrics.append(
                 F.sum(
-                    F.when(
-                        (sp < 0) | (sp >= observe_partitions), 1
-                    ).otherwise(0)
+                    F.when((sp < 0) | (sp >= observe_partitions), 1).otherwise(0)
                 ).alias("rest")
             )
             updates = updates.observe(observation, *metrics)
@@ -347,62 +502,86 @@ class SnapshotTable:
             if f.name not in updates.columns:
                 upd = upd.withColumn(f.name, F.lit(None).cast(f.dataType))
 
-        # ---- bucket-pruned read-modify-write ----------------------------
         upd = upd.select(
             *payload_cols,
             F.col("lsn").alias("_lsn"),
             (F.col("op") == "D").alias("_deleted"),
         ).withColumn("_b", self._bucket_col())
-        affected = (
-            affected_buckets
-            if affected_buckets is not None
-            else sorted(r[0] for r in upd.select("_b").distinct().collect())
-        )
-        current = self._read_buckets(snap, affected)
-        for f in new_fields:  # stored side lacks brand-new columns
-            current = current.withColumn(f.name, F.lit(None).cast(f.dataType))
-        current = current.select(*upd.columns)
 
-        combined = current.unionByName(upd)
-        winner = (
-            combined.groupBy("conv_id", "turn_idx")
-            .agg(
-                F.max_by(
-                    F.struct(
-                        *[c for c in payload_cols if c not in KEY], "_deleted", "_b"
-                    ),
-                    F.col("_lsn"),
-                ).alias("_w"),
-                F.max("_lsn").alias("_lsn"),
+        # ---- incoming key stats (per bucket) ----------------------------
+        if incoming_stats is None:
+            incoming_stats = {
+                int(r["b"]): (r["klo"], r["khi"], int(r["n"]))
+                for r in upd.groupBy(F.col("_b").alias("b"))
+                .agg(
+                    F.min("conv_id").alias("klo"),
+                    F.max("conv_id").alias("khi"),
+                    F.count("*").alias("n"),
+                )
+                .collect()
+            }
+        if not incoming_stats:
+            return -1, None  # empty batch: nothing to commit
+
+        # ---- file-level pruning -----------------------------------------
+        candidates: dict[int, list[str]] = {}
+        untouched: dict[int, list[str]] = {}
+        cand_rows = 0
+        for b, (klo, khi, _n) in incoming_stats.items():
+            cand, keep = [], []
+            for p in snap.buckets.get(str(b), []):
+                if _overlaps(snap.file_stats.get(p), klo, khi):
+                    cand.append(p)
+                else:
+                    keep.append(p)
+            candidates[b], untouched[b] = cand, keep
+            cand_rows += sum(
+                int(snap.file_stats.get(p, {}).get("rows") or 0) for p in cand
             )
-            .select(
-                *KEY,
-                *[
-                    F.col(f"_w.{c}").alias(c)
-                    for c in payload_cols
-                    if c not in KEY
-                ],
-                "_lsn",
-                F.col("_w._deleted").alias("_deleted"),
-                F.col("_w._b").alias("_b"),
-            )
+        incoming_rows = sum(n for _, _, n in incoming_stats.values())
+        use_delta = mode == "delta" or (
+            mode == "auto" and cand_rows > delta_threshold * max(incoming_rows, 1)
         )
+
+        # ---- reduce + write ----------------------------------------------
+        if use_delta:
+            # in-batch LWW only: O(batch) write volume, table untouched
+            winner = self._lww_reduce(upd, payload_cols)
+        else:
+            current = self._read_files(
+                snap, [p for ps in candidates.values() for p in ps]
+            )
+            for f in new_fields:  # stored side lacks brand-new columns
+                current = current.withColumn(f.name, F.lit(None).cast(f.dataType))
+            winner = self._lww_reduce(
+                current.select(*upd.columns).unionByName(upd), payload_cols
+            )
 
         new_version = snap.version + 1
-        data_dir = os.path.join(self.root, "data", f"v{new_version}")
-        (
-            winner.repartition(self.n_buckets, F.col("_b"))
-            .write.mode("overwrite")
-            .parquet(data_dir)
-        )
+        data_dir = self._new_data_dir(new_version)
+        by_bucket = self._write_bucketed(winner, data_dir)
 
-        # affected buckets now point at this commit's files (flat write:
-        # bucket b lives in the file of shuffle partition pid(b))
-        pid = self._pid_of_bucket()
-        by_pid = self._part_files_by_pid(data_dir)
         new_buckets = dict(snap.buckets)
-        for b in affected:
-            new_buckets[str(b)] = by_pid.get(pid[b], [])
+        new_deltas = {k: list(v) for k, v in snap.deltas.items()}
+        if use_delta:
+            for b in incoming_stats:
+                new = by_bucket.get(b, [])
+                if new:
+                    new_deltas[str(b)] = new_deltas.get(str(b), []) + new
+        else:
+            for b in incoming_stats:
+                new_buckets[str(b)] = untouched[b] + by_bucket.get(b, [])
+
+        new_paths = [p for ps in by_bucket.values() for p in ps]
+        referenced = {
+            p
+            for ps in list(new_buckets.values()) + list(new_deltas.values())
+            for p in ps
+        }
+        file_stats = {
+            p: s for p, s in snap.file_stats.items() if p in referenced
+        }
+        file_stats.update(self._collect_file_stats(new_paths))
 
         # ---- lineage + ledger -------------------------------------------
         t1 = time.time()
@@ -443,6 +622,8 @@ class SnapshotTable:
                 lineage=lineage,
                 parent=snap.version,
                 properties=snap.properties,
+                deltas=new_deltas,
+                file_stats=file_stats,
             )
         )
         return new_version, obs_counts
@@ -450,9 +631,10 @@ class SnapshotTable:
     # ------------------------------------------------------------ expire
     def expire_snapshots(self, keep_last: int = 10) -> list[str]:
         """Delete data directories referenced ONLY by snapshots older than
-        the ``keep_last`` most recent (Iceberg's expire_snapshots).
-        Snapshot JSONs are kept (they are tiny and hold the lineage
-        history); their data becomes unreadable. Returns removed dirs."""
+        the ``keep_last`` most recent (Iceberg's expire_snapshots). Also
+        collects orphan dirs from losing/crashed writers. Snapshot JSONs
+        are kept (they are tiny and hold the lineage history); their data
+        becomes unreadable. Returns removed dirs."""
         import shutil
 
         current = self.current_version()
@@ -460,7 +642,7 @@ class SnapshotTable:
         live_dirs: set[str] = set()
         for v in keep_versions:
             snap = self.snapshot(v)
-            for files in snap.buckets.values():
+            for files in list(snap.buckets.values()) + list(snap.deltas.values()):
                 live_dirs.update(os.path.dirname(f) for f in files)
         data_root = os.path.join(self.root, "data")
         removed = []
@@ -474,36 +656,35 @@ class SnapshotTable:
 
     # ------------------------------------------------------------ compact
     def compact(self, drop_tombstones: bool = True) -> int:
-        """Rewrite all buckets (small-file compaction; optionally purge
-        tombstones once replay protection no longer needs them)."""
+        """Fold merge-on-read deltas into key-unique base files and rewrite
+        small files (optionally purging tombstones once replay protection
+        no longer needs them). After compact the read path is reduction-free
+        again — Iceberg's rewrite_data_files + MoR compaction in one."""
         snap = self.snapshot()
-        live = [b for b in range(self.n_buckets) if snap.buckets.get(str(b))]
-        if not live:
+        paths = self._bucket_paths(snap, list(range(self.n_buckets)))
+        if not paths:
             return snap.version
-        df = self._read_buckets(snap, live)
+        payload_cols = [f.name for f in self.payload_schema(snap)]
+        df = self._lww_reduce(self._read_files(snap, paths), payload_cols)
         if drop_tombstones:
             df = df.filter(~F.col("_deleted"))
         new_version = snap.version + 1
-        data_dir = os.path.join(self.root, "data", f"v{new_version}")
-        (
-            df.repartition(self.n_buckets, F.col("_b"))
-            .write.mode("overwrite")
-            .parquet(data_dir)
-        )
-        pid = self._pid_of_bucket()
-        by_pid = self._part_files_by_pid(data_dir)
-        new_buckets = {
-            str(b): by_pid.get(pid[b], []) for b in range(self.n_buckets)
-        }
+        data_dir = self._new_data_dir(new_version)
+        by_bucket = self._write_bucketed(df, data_dir)
+        new_paths = [p for ps in by_bucket.values() for p in ps]
         self._commit(
             Snapshot(
                 version=new_version,
                 schema_json=snap.schema_json,
-                buckets=new_buckets,
+                buckets={
+                    str(b): by_bucket.get(b, []) for b in range(self.n_buckets)
+                },
                 applied=snap.applied,
                 lineage=[],
                 parent=snap.version,
                 properties=snap.properties,
+                deltas={},
+                file_stats=self._collect_file_stats(new_paths),
             )
         )
         return new_version

@@ -8,9 +8,17 @@ Packaging + launch (the north rule's spark-submit form):
         --conf spark.sql.adaptive.enabled=true \
         --conf spark.sql.adaptive.skewJoin.enabled=true \
         jobs/replay_job.py \
-        --log-dir  s3://.../changelog \
-        --table    s3://.../transcripts_table \
+        --log-dir  /mnt/shared/changelog \
+        --table    /mnt/shared/transcripts_table \
         --mode     stream            # or: batch
+
+``--table`` must be a POSIX path on a filesystem shared by the driver
+(SnapshotTable's snapshot log uses local-file ``os.link`` atomic creates —
+valid on a POSIX shared mount, NOT on s3:// object stores or NFS without
+atomic link semantics). For object-store deployments point the sink at
+``sinks.IcebergTable`` instead, which carries the same merge/ledger
+surface over a real Iceberg catalog. ``--log-dir`` is read through Spark,
+so any Hadoop-filesystem URI works there.
 
 Identical code runs at N and 4N executors; throughput/lineage land in the
 table manifest, so scaling efficiency is read straight from

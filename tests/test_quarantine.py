@@ -27,6 +27,8 @@ ROWS = [
     (3, "U", None, 0, "user", "x", None, TS),  # null_key
     (4, "U", "c1", 0, "user", None, None, TS),  # null_payload
     (5, "D", "c1", 1, None, None, None, TS),  # valid (delete, null payload ok)
+    (6, None, "c2", 0, "user", "x", None, TS),  # bad_op (NULL op: 3VL trap —
+    # ~isin() is NULL, not true, so it must be caught explicitly)
 ]
 
 
@@ -37,7 +39,13 @@ def test_validate_split(spark):
     reasons = {
         r["lsn"]: r["_reject_reason"] for r in split.quarantined.collect()
     }
-    assert reasons == {None: "bad_lsn", 2: "bad_op", 3: "null_key", 4: "null_payload"}
+    assert reasons == {
+        None: "bad_lsn",
+        2: "bad_op",
+        3: "null_key",
+        4: "null_payload",
+        6: "bad_op",
+    }
 
 
 def test_quarantine_to_sidecar(spark, tmp_path):
@@ -46,8 +54,8 @@ def test_quarantine_to_sidecar(spark, tmp_path):
     valid = quarantine_to(df, qdir)
     assert valid.count() == 2
     side = spark.read.parquet(qdir)
-    assert side.count() == 4
+    assert side.count() == 5
     assert "_reject_reason" in side.columns
     # appends accumulate (at-least-once side channel, never data loss)
     quarantine_to(df, qdir)
-    assert spark.read.parquet(qdir).count() == 8
+    assert spark.read.parquet(qdir).count() == 10

@@ -1,0 +1,261 @@
+"""SnapshotTable v2 layout invariants: one bucket per file (inverse-hash
+routing), per-file key stats + file-level merge pruning, merge-on-read
+deltas, collision-free commit dirs. Regression coverage for the round-1
+advice findings (co-hashed stale-row resurrection; concurrent-commit
+clobber)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from caterpillar_spark.sinks.snapshot_table import (
+    SnapshotTable,
+    murmur3_hash_int,
+    route_map,
+)
+
+PAYLOAD = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("lsn", T.LongType()),
+        T.StructField("op", T.StringType()),
+    ]
+    + list(PAYLOAD.fields)
+)
+
+TS = dt.datetime(2024, 1, 1)
+
+
+def _events(spark, rows):
+    """rows: (lsn, op, conv_id, turn_idx, text)."""
+    return spark.createDataFrame(
+        [(lsn, op, c, t, "user", txt, None, TS) for lsn, op, c, t, txt in rows],
+        EVENT_SCHEMA,
+    )
+
+
+def _insert_batch(spark, convs, lsn0, text="v1"):
+    return _events(
+        spark,
+        [(lsn0 + i, "I", c, 0, f"{text}:{c}") for i, c in enumerate(convs)],
+    )
+
+
+def _table_bytes(tbl):
+    snap = tbl.snapshot()
+    paths = {
+        p
+        for ps in list(snap.buckets.values()) + list(snap.deltas.values())
+        for p in ps
+    }
+    return sum(os.path.getsize(p) for p in paths), paths
+
+
+def test_murmur3_python_matches_spark(spark):
+    """The pure-Python Murmur3_x86_32.hashInt must agree with F.hash on
+    int columns — the routing invariant rests on it."""
+    vals = list(range(-50, 500))
+    got = {
+        r["v"]: r["h"]
+        for r in spark.createDataFrame([(v,) for v in vals], "v int")
+        .select("v", F.hash("v").alias("h"))
+        .collect()
+    }
+    for v in vals:
+        assert murmur3_hash_int(v) == got[v], v
+
+
+def test_route_map_inverts_hash_partitioning():
+    for n in (4, 8, 16, 32, 64):
+        rm = route_map(n)
+        assert sorted(rm) == list(range(n))
+        for b, r in rm.items():
+            assert murmur3_hash_int(r) % n == b
+
+
+def test_one_bucket_per_file(spark, tmp_path):
+    """Every data file contains rows of exactly the bucket that points at
+    it — the invariant the round-1 flat write violated (co-hashed buckets
+    shared files, so bucket rewrites left stale rows behind)."""
+    tbl = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=8).create(PAYLOAD)
+    convs = [f"conv_{i:06d}" for i in range(200)]
+    tbl.merge(_insert_batch(spark, convs, 0), 0, (0, 199))
+    snap = tbl.snapshot()
+    seen_files: dict[str, int] = {}
+    for b_str, files in snap.buckets.items():
+        for p in files:
+            assert p not in seen_files, "file referenced by two buckets"
+            seen_files[p] = int(b_str)
+    assert seen_files, "no data files written"
+    for p, b in seen_files.items():
+        got = {r["_b"] for r in spark.read.parquet(p).select("_b").collect()}
+        assert got == {b}, f"{p} holds buckets {got}, pointer says {b}"
+
+
+def test_stale_row_regression_single_key_update(spark, tmp_path):
+    """ADVICE r1 (high): wide insert, then a single-key update, then full
+    read — must return exactly one row per key with the updated value
+    (round-1 returned stale duplicates out of co-hashed files)."""
+    tbl = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=4).create(PAYLOAD)
+    convs = [f"conv_{i:06d}" for i in range(20)]
+    tbl.merge(_insert_batch(spark, convs, 0), 0, (0, 19))
+    tbl.merge(
+        _events(spark, [(100, "U", "conv_000007", 0, "v2:conv_000007")]),
+        1,
+        (100, 100),
+        mode="cow",
+    )
+    rows = tbl.read().collect()
+    assert len(rows) == 20
+    by_conv = {r["conv_id"]: r["text"] for r in rows}
+    assert len(by_conv) == 20
+    assert by_conv["conv_000007"] == "v2:conv_000007"
+    assert all(v == f"v1:{c}" for c, v in by_conv.items() if c != "conv_000007")
+    # compaction must not resurrect or duplicate either
+    tbl.compact()
+    rows2 = sorted((r["conv_id"], r["text"]) for r in tbl.read().collect())
+    assert rows2 == sorted(by_conv.items())
+
+
+def test_file_pruning_bounds_write_amplification(spark, tmp_path):
+    """A single-key CoW update against a table with several files per
+    bucket must rewrite only the files whose key range contains the key —
+    commit bytes ≪ table bytes, untouched files stay referenced."""
+    tbl = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=4).create(PAYLOAD)
+    lo_range = [f"conv_{i:06d}" for i in range(150)]
+    hi_range = [f"conv_{i:06d}" for i in range(500, 650)]
+    tbl.merge(_insert_batch(spark, lo_range, 0), 0, (0, 149))
+    tbl.merge(_insert_batch(spark, hi_range, 200), 1, (200, 349))
+    before_bytes, before_paths = _table_bytes(tbl)
+    # buckets now hold two disjoint-range files each
+    snap = tbl.snapshot()
+    assert any(len(fs) >= 2 for fs in snap.buckets.values())
+    tbl.merge(
+        _events(spark, [(1000, "U", "conv_000050", 0, "v2")]),
+        2,
+        (1000, 1000),
+        mode="cow",
+    )
+    after_snap = tbl.snapshot()
+    _, after_paths = _table_bytes(tbl)
+    new_paths = after_paths - before_paths
+    new_bytes = sum(os.path.getsize(p) for p in new_paths)
+    dropped = before_paths - after_paths
+    # only the one overlapping file was rewritten
+    assert len(dropped) == 1
+    assert new_bytes < 0.55 * before_bytes
+    # hi-range files all survived untouched
+    hi_stats = [
+        s
+        for p, s in after_snap.file_stats.items()
+        if p in before_paths and s["min_key"] >= "conv_000500"
+    ]
+    assert len(hi_stats) >= 1
+    got = {r["conv_id"]: r["text"] for r in tbl.read().collect()}
+    assert len(got) == 300
+    assert got["conv_000050"] == "v2"
+
+
+def test_delta_merge_is_o_batch_and_compacts(spark, tmp_path):
+    """mode='delta' (and 'auto' for a tiny batch): write volume is O(batch),
+    base files untouched; reads LWW-reduce; compact folds deltas back."""
+    tbl = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=4).create(PAYLOAD)
+    convs = [f"conv_{i:06d}" for i in range(1000)]
+    tbl.merge(_insert_batch(spark, convs, 0), 0, (0, 999))
+    base_bytes, base_paths = _table_bytes(tbl)
+    # auto mode must choose delta: candidate rows (1000) > 3x batch (2)
+    tbl.merge(
+        _events(
+            spark,
+            [(5000, "U", "conv_000001", 0, "v2"), (5001, "D", "conv_000002", 0, None)],
+        ),
+        1,
+        (5000, 5001),
+        mode="auto",
+    )
+    snap = tbl.snapshot()
+    assert snap.has_deltas()
+    _, after_paths = _table_bytes(tbl)
+    assert base_paths <= after_paths  # base files untouched
+    delta_bytes = sum(os.path.getsize(p) for p in after_paths - base_paths)
+    assert delta_bytes < 0.25 * base_bytes
+    got = {r["conv_id"]: r["text"] for r in tbl.read().collect()}
+    assert len(got) == 999  # one deleted
+    assert got["conv_000001"] == "v2"
+    assert "conv_000002" not in got
+    # compact: deltas folded, tombstones dropped, state unchanged
+    tbl.compact()
+    snap2 = tbl.snapshot()
+    assert not snap2.has_deltas()
+    got2 = {r["conv_id"]: r["text"] for r in tbl.read().collect()}
+    assert got2 == got
+    assert len(got2) == 999
+
+
+def test_concurrent_commit_loser_cannot_clobber(spark, tmp_path, monkeypatch):
+    """ADVICE r1 (medium): a losing concurrent writer must abort on commit
+    WITHOUT touching the winner's committed files (round-1 wrote
+    version-keyed dirs with overwrite mode — the loser deleted the
+    winner's data before losing the snapshot race)."""
+    root = str(tmp_path / "t")
+    tbl = SnapshotTable(spark, root, n_buckets=4).create(PAYLOAD)
+    convs = [f"conv_{i:06d}" for i in range(30)]
+    tbl.merge(_insert_batch(spark, convs, 0), 0, (0, 29))
+
+    loser = SnapshotTable(spark, root, n_buckets=4)
+    stale = loser.snapshot()  # both writers observed v1
+    monkeypatch.setattr(loser, "snapshot", lambda version=None: stale)
+
+    # winner commits v2 first
+    tbl.merge(
+        _events(spark, [(100, "U", "conv_000003", 0, "winner")]), 1, (100, 100)
+    )
+    state = sorted((r["conv_id"], r["text"]) for r in tbl.read().collect())
+
+    with pytest.raises(FileExistsError):
+        loser.merge(
+            _events(spark, [(200, "U", "conv_000004", 0, "loser")]), 9, (200, 200)
+        )
+    # winner's committed table is fully intact
+    assert sorted((r["conv_id"], r["text"]) for r in tbl.read().collect()) == state
+    # the loser's orphan dir is collectable garbage, not live data
+    removed = tbl.expire_snapshots(keep_last=10)
+    assert sorted((r["conv_id"], r["text"]) for r in tbl.read().collect()) == state
+    assert all("data" in d for d in removed)
+
+
+def test_full_delta_replay_matches_cow_replay(spark, tmp_path):
+    """The two merge paths are semantically interchangeable: replaying the
+    same chunked log all-delta vs all-CoW converges to identical state."""
+    from caterpillar_spark.cdc import replay_chunks
+    from caterpillar_spark.generator import GeneratorSpec, write_changelog_chunks
+
+    spec = GeneratorSpec(n_events=6_000, n_convs=30, turns_per_conv=10, seed=7)
+    chunks = write_changelog_chunks(spark, spec, str(tmp_path / "log"), n_chunks=3)
+
+    t_cow = SnapshotTable(spark, str(tmp_path / "cow"), n_buckets=8).create(PAYLOAD)
+    replay_chunks(spark, chunks, t_cow, mode="cow")
+    t_mor = SnapshotTable(spark, str(tmp_path / "mor"), n_buckets=8).create(PAYLOAD)
+    replay_chunks(spark, chunks, t_mor, mode="delta")
+
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    a = sorted(tuple(r) for r in t_cow.read().select(*cols).collect())
+    b = sorted(tuple(r) for r in t_mor.read().select(*cols).collect())
+    assert a == b
+    t_mor.compact()
+    assert sorted(tuple(r) for r in t_mor.read().select(*cols).collect()) == a
