@@ -454,9 +454,26 @@ def q_sample_percent(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
+    """Media decode + feature extraction through the Arrow mapInPandas
+    plumbing. The raw ``array<float>`` stays in the library; the driver row
+    projects a quantized signature instead (the driver's canonicalizer
+    can't sort list cells, and quantizing at 1e4 with the constant 72-byte
+    stub payload keeps float32 (numpy kernel) and float64 (oracle)
+    arithmetic on the same integers — boundary distance 0.055 vs
+    worst-case float32 error 5e-4)."""
     from caterpillar_spark.operators.multimodal import extract_features, synth_media
 
-    return extract_features(synth_media(spark, 128))
+    feats = extract_features(synth_media(spark, 128))
+    sig = F.concat_ws(
+        ",",
+        F.transform(
+            "feature",
+            lambda x: F.floor(x.cast("double") * 10000 + F.lit(0.5))
+            .cast("int")
+            .cast("string"),
+        ),
+    )
+    return feats.select("media_id", "kind", "n_bytes", sig.alias("feature_sig"))
 
 
 def q_cdc_replay_final_state(spark, sf_dir):
@@ -488,12 +505,114 @@ def q_cdc_replay_final_state(spark, sf_dir):
     return tbl.read().orderBy("conv_id", "turn_idx")
 
 
+def q_cdc_replay_events(spark, sf_dir):
+    """Flagship engine path WITH a value-hash oracle: derive a
+    deterministic change stream from the shared ``events`` table (op /
+    key / payload are pure SQL expressions of event_id), replay it through
+    SnapshotTable in two batches (ledger, merge, tombstones), and read the
+    final state. The DuckDB twin reduces the same derived stream with
+    max_by — so the full merge path is certified against an independent
+    engine, not just row counts."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from caterpillar_spark.cdc import apply_changes
+    from caterpillar_spark.sinks import SnapshotTable
+
+    ev = _t(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_id") % 20 == 7, F.lit("D"))
+        .when(F.col("event_id") % 20 == 11, F.lit("UP"))
+        .when(F.col("event_id") % 5 == 0, F.lit("I"))
+        .otherwise(F.lit("U"))
+    )
+    turn = (
+        F.when(F.col("event_type") == "click", 0)
+        .when(F.col("event_type") == "purchase", 1)
+        .when(F.col("event_type") == "error", 2)
+        .otherwise(3)
+        .cast("int")
+    )
+    ch = ev.select(
+        F.col("event_id").alias("lsn"),
+        op.alias("op"),
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("conv_id"),
+        turn.alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.when(op == "D", F.lit(None).cast("string"))
+        .otherwise(F.col("props"))
+        .alias("text"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    work = tempfile.mkdtemp(prefix="cdc_events_")
+    tbl = SnapshotTable(spark, f"{work}/table", n_buckets=16).create(schema)
+    mid = ev.agg(F.max("event_id")).collect()[0][0] // 2
+    apply_changes(ch.filter(F.col("lsn") <= mid), tbl, batch_id=0)
+    apply_changes(ch.filter(F.col("lsn") > mid), tbl, batch_id=1)
+    return tbl.read().select("conv_id", "turn_idx", "role", "text")
+
+
+def q_sample_random(spark, sf_dir):
+    from caterpillar_spark.operators.sampling import random_n
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    return random_n(ev, 200, seed=42)
+
+
+def q_shuffle_array(spark, sf_dir):
+    from caterpillar_spark.functions import shuffle
+
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    # shuffle order is non-deterministic (rows-only check); size and the
+    # sorted element multiset are invariants the row count stands in for
+    return docs.select(
+        "doc_id", F.size(shuffle(words)).alias("n_shuffled")
+    )
+
+
+def q_uuid(spark, sf_dir):
+    from caterpillar_spark.functions import uuid as uuid_fn
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.length(uuid_fn()).alias("uuid_len")
+    )
+
+
+def q_hmac_sha512(spark, sf_dir):
+    from caterpillar_spark.functions import hmac_sha512
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", hmac_sha512(F.lit("secret-key"), F.col("text")).alias("mac")
+    )
+
+
+def q_hmac_md5(spark, sf_dir):
+    from caterpillar_spark.functions import hmac_md5
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", hmac_md5(F.lit("secret-key"), F.col("text")).alias("mac")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_lww_latest": q_cdc_lww_latest,
         "cdc_lww_window": q_cdc_lww_window,
         "cdc_lww_salted": q_cdc_lww_salted,
         "cdc_replay_final_state": q_cdc_replay_final_state,
+        "cdc_replay_events": q_cdc_replay_events,
         "filter_project": q_filter_project,
         "json_project": q_json_project,
         "flatten": q_flatten,
@@ -502,10 +621,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concat_batch": q_concat_batch,
         "hash_functions": q_hash_functions,
         "hmac_sha256": q_hmac_sha256,
+        "hmac_sha512": q_hmac_sha512,
+        "hmac_md5": q_hmac_md5,
+        "uuid": q_uuid,
+        "shuffle_array": q_shuffle_array,
         "sample_head": q_sample_head,
         "sample_tail": q_sample_tail,
         "sample_nth": q_sample_nth,
         "sample_percent": q_sample_percent,
+        "sample_random": q_sample_random,
         "union": q_union,
         "agg_groupby": q_agg_groupby,
         "window_running": q_window_running,
@@ -543,13 +667,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _H64 = "CAST('0x' || substring(md5({x}), 1, 15) AS BIGINT)"
 
 
-def _minhash_cte(num_hashes: int) -> str:
+def _h64_py(s: str) -> int:
+    """Python twin of shared_hash64 (md5 first-15-hex-digits as int) — used
+    to inline SRP hyperplane CONSTANTS into oracle SQL, identical to what
+    Spark's expression folds to."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _srp_bucket_sql(n_planes: int = 4, dim: int = 64, seed: int = 42) -> str:
+    """SQL for operators.similarity._srp_bucket over a raw ``embedding``
+    float list. The projection is an explicit left-associated sum (NOT
+    list_dot_product) so the floating-point accumulation order matches
+    Spark's sequential F.aggregate exactly — the bucket id is a discrete
+    value, so last-ulp divergence would flip candidates."""
+    terms = []
+    for p in range(n_planes):
+        plane = [
+            (_h64_py(f"srp:{seed}:{p}:{d}") % 2_000_001 - 1_000_000) / 1_000_000.0
+            for d in range(dim)
+        ]
+        proj = " + ".join(
+            f"CAST(embedding[{d + 1}] AS DOUBLE) * {c!r}"
+            for d, c in enumerate(plane)
+        )
+        terms.append(f"(CASE WHEN ({proj}) > 0 THEN {2**p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _minhash_cte(num_hashes: int, recursive: bool = False) -> str:
     mins = ",\n      ".join(
         f"min({_H64.format(x=f'''('{i}:' || shingle)''')}) AS h{i}"
         for i in range(num_hashes)
     )
+    kw = "WITH RECURSIVE" if recursive else "WITH"
     return f"""
-    WITH w AS (
+    {kw} w AS (
       SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
     ), sh AS (
       SELECT DISTINCT doc_id,
@@ -559,6 +713,24 @@ def _minhash_cte(num_hashes: int) -> str:
       SELECT doc_id,
       {mins}
       FROM sh GROUP BY doc_id
+    )"""
+
+
+_BANDED_PAIRS_CTE = """
+    , banded AS (
+      SELECT doc_id AS id, b.band_idx,
+             CASE b.band_idx
+               WHEN 0 THEN h0::VARCHAR || '_' || h1::VARCHAR
+               WHEN 1 THEN h2::VARCHAR || '_' || h3::VARCHAR
+               WHEN 2 THEN h4::VARCHAR || '_' || h5::VARCHAR
+               ELSE        h6::VARCHAR || '_' || h7::VARCHAR
+             END AS band_key
+      FROM sig, unnest(range(0, 4)) AS b(band_idx)
+    ), pairs AS (
+      SELECT DISTINCT l.id AS id_a, r.id AS id_b
+      FROM banded l JOIN banded r
+        ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+       AND l.id < r.id
     )"""
 
 
@@ -695,10 +867,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sessionize": """
           SELECT user_id, event_id,
-                 sum(is_new) OVER (
+                 -- CAST: DuckDB's windowed sum yields HUGEINT
+                 -- (decimal128 in arrow) while Spark's is BIGINT; the
+                 -- driver hashes typed values, so align the types
+                 CAST(sum(is_new) OVER (
                    PARTITION BY user_id ORDER BY event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                 ) AS session_idx
+                 ) AS BIGINT) AS session_idx
           FROM (
             SELECT user_id, event_id,
                    CASE WHEN gap_us IS NULL OR gap_us > 3600000000
@@ -734,21 +909,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_signature": _minhash_cte(4) + " SELECT * FROM sig",
         "dedup_minhash_lsh": _minhash_cte(8)
+        + _BANDED_PAIRS_CTE
+        + " SELECT id_a, id_b FROM pairs",
+        # connected components as a recursive CTE: reach(id, lbl) enumerates
+        # (node, initial id of every node reachable from it); min(lbl) per
+        # node = the min-member cluster id — the same fixpoint the engine's
+        # distributed min-label propagation converges to
+        "dedup_clusters": _minhash_cte(8, recursive=True)
+        + _BANDED_PAIRS_CTE
         + """
-        , banded AS (
-          SELECT doc_id AS id, b.band_idx,
-                 CASE b.band_idx
-                   WHEN 0 THEN h0::VARCHAR || '_' || h1::VARCHAR
-                   WHEN 1 THEN h2::VARCHAR || '_' || h3::VARCHAR
-                   WHEN 2 THEN h4::VARCHAR || '_' || h5::VARCHAR
-                   ELSE        h6::VARCHAR || '_' || h7::VARCHAR
-                 END AS band_key
-          FROM sig, unnest(range(0, 4)) AS b(band_idx)
+        , nodes AS (
+          SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs
+        ), edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ), reach(id, lbl) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.id = e.b
         )
-        SELECT DISTINCT l.id AS id_a, r.id AS id_b
-        FROM banded l JOIN banded r
-          ON l.band_idx = r.band_idx AND l.band_key = r.band_key
-         AND l.id < r.id
+        SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id
         """,
         "dedup_simhash": _simhash_sql(16),
         "dedup_ngram_jaccard": f"""
@@ -855,9 +1035,115 @@ def oracle_sql() -> dict[str, str]:
             ) AS rank FROM scored
           ) WHERE rank <= 5
         """,
+        "ann_lsh_topk": f"""
+          WITH q AS (
+            SELECT vec_id AS query_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv,
+                   {_srp_bucket_sql()} AS qb
+            FROM embeddings WHERE vec_id < 5
+          ), c AS (
+            SELECT vec_id AS neighbor_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv,
+                   {_srp_bucket_sql()} AS cb
+            FROM embeddings
+          ), scored AS (
+            SELECT query_id, neighbor_id,
+                   round(list_dot_product(qv, cv)
+                         / (sqrt(list_dot_product(qv, qv))
+                            * sqrt(list_dot_product(cv, cv))), 6) AS cos_sim
+            FROM c JOIN q ON cb = qb AND neighbor_id <> query_id
+          )
+          SELECT query_id, neighbor_id, cos_sim,
+                 CAST(rank AS INTEGER) AS rank
+          FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+            ) AS rank FROM scored
+          ) WHERE rank <= 5
+        """,
+        "dedup_embedding_cosine": f"""
+          WITH e AS (
+            SELECT vec_id AS id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                   {_srp_bucket_sql()} AS b
+            FROM embeddings
+          ), scored AS (
+            SELECT l.id AS id_a, r.id AS id_b,
+                   round(list_dot_product(l.v, r.v)
+                         / (sqrt(list_dot_product(l.v, l.v))
+                            * sqrt(list_dot_product(r.v, r.v))), 6) AS cos_sim
+            FROM e l JOIN e r ON l.b = r.b AND l.id < r.id
+          )
+          SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.2
+        """,
+        # the flagship merge path, certified by value: LWW reduction of the
+        # identical derived change stream (see q_cdc_replay_events)
+        "cdc_replay_events": """
+          WITH ch AS (
+            SELECT event_id AS lsn,
+                   CASE WHEN event_id % 20 = 7 THEN 'D'
+                        WHEN event_id % 20 = 11 THEN 'UP'
+                        WHEN event_id % 5 = 0 THEN 'I'
+                        ELSE 'U' END AS op,
+                   'u' || CAST(user_id AS VARCHAR) AS conv_id,
+                   CAST(CASE WHEN event_type = 'click' THEN 0
+                             WHEN event_type = 'purchase' THEN 1
+                             WHEN event_type = 'error' THEN 2
+                             ELSE 3 END AS INTEGER) AS turn_idx,
+                   event_type AS role,
+                   CASE WHEN event_id % 20 = 7 THEN NULL ELSE props END AS text
+            FROM events
+          ), w AS (
+            SELECT conv_id, turn_idx,
+                   max_by(op, lsn) AS op,
+                   max_by(role, lsn) AS role,
+                   max_by(text, lsn) AS text
+            FROM ch GROUP BY conv_id, turn_idx
+          )
+          SELECT conv_id, turn_idx, role, text FROM w WHERE op <> 'D'
+        """,
+        # media pipeline: the stub decode (byte-histogram of the synthetic
+        # 72-byte payload) is pure arithmetic — reproduced here byte-for-
+        # byte; the 1e4 quantization absorbs the kernel's float32 rounding
+        "media_features": f"""
+          WITH m AS (
+            SELECT t.id AS media_id,
+                   CASE WHEN t.id % 3 = 0 THEN 'image'
+                        WHEN t.id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   'payload-' || sha256(CAST(t.id AS VARCHAR)) AS payload
+            FROM range(128) t(id)
+          ), b AS (
+            SELECT media_id, kind, payload,
+                   ord(substr(payload, u.i, 1)) % 8 AS cls
+            FROM m, unnest(range(1, length(payload) + 1)) AS u(i)
+          ), f AS (
+            SELECT media_id, kind,
+                   CAST(length(payload) AS INTEGER) AS n_bytes,
+                   count(*) AS total,
+                   {", ".join(f"count(*) FILTER (WHERE cls = {k}) AS c{k}" for k in range(8))}
+            FROM b GROUP BY media_id, kind, payload
+          )
+          SELECT media_id, kind, n_bytes,
+                 concat_ws(',', {", ".join(f"CAST(floor(c{k} / CAST(total AS DOUBLE) * 10000 + 0.5) AS INTEGER)" for k in range(8))}) AS feature_sig
+          FROM f
+        """,
+        # deterministic invariants of the non-deterministic functions:
+        # shuffle preserves array cardinality; uuid is RFC-4122 36 chars
+        "shuffle_array": """
+          SELECT doc_id,
+                 CAST(len(string_split(trim(text), ' ')) AS INTEGER)
+                   AS n_shuffled
+          FROM documents
+        """,
+        "uuid": """
+          SELECT doc_id, CAST(36 AS INTEGER) AS uuid_len FROM documents
+        """,
         # rows-only (non-SQL-expressible or non-deterministic-by-design):
-        # cdc_replay_final_state, hmac_sha256, sample_percent,
-        # ann_lsh_topk, dedup_embedding_cosine, media_features
+        # cdc_replay_final_state (on-disk generator table; its oracle twin
+        # over shared input is cdc_replay_events), hmac_sha256/512/md5
+        # (no HMAC in DuckDB), sample_percent / sample_random (seeded
+        # engine RNG not reproducible cross-engine)
     }
 
 

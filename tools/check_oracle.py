@@ -47,6 +47,72 @@ def canon(cols, rows):
     ), [cols[i] for i in order]
 
 
+def spark_kind(dt) -> str:
+    """Canonical type token for a Spark DataType (driver-hash granularity)."""
+    from pyspark.sql import types as T
+
+    m = {
+        T.LongType: "int64", T.IntegerType: "int32", T.ShortType: "int16",
+        T.DoubleType: "float64", T.FloatType: "float32",
+        T.StringType: "string", T.BooleanType: "bool",
+        T.TimestampType: "timestamp", T.TimestampNTZType: "timestamp",
+        T.DateType: "date", T.BinaryType: "binary",
+    }
+    for cls, tok in m.items():
+        if isinstance(dt, cls):
+            return tok
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, T.ArrayType):
+        return f"list<{spark_kind(dt.elementType)}>"
+    return str(dt)
+
+
+def arrow_kind(t) -> str:
+    """Canonical type token for a pyarrow DataType (DuckDB result side)."""
+    import pyarrow as pa
+
+    if pa.types.is_int64(t):
+        return "int64"
+    if pa.types.is_int32(t):
+        return "int32"
+    if pa.types.is_int16(t):
+        return "int16"
+    if pa.types.is_float64(t):
+        return "float64"
+    if pa.types.is_float32(t):
+        return "float32"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{arrow_kind(t.value_type)}>"
+    return str(t)
+
+
+def type_drift(sdf, arrow_schema) -> list[str]:
+    """Columns whose Spark vs DuckDB-arrow types would hash differently in
+    the driver even when the Python values compare equal (the round-1
+    ``sessionize`` trap: DuckDB windowed sum -> HUGEINT/decimal128 vs
+    Spark BIGINT)."""
+    s = {f.name: spark_kind(f.dataType) for f in sdf.schema.fields}
+    d = {f.name: arrow_kind(f.type) for f in arrow_schema}
+    return [
+        f"{c}: spark={s[c]} duckdb={d[c]}"
+        for c in sorted(set(s) & set(d))
+        if s[c] != d[c]
+    ]
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -77,16 +143,22 @@ def main():
             n_rowsonly += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            atbl = con.execute(oracles[name]).arrow()
+            dcols = atbl.column_names
+            drows = [
+                tuple(row[c] for c in dcols) for row in atbl.to_pylist()
+            ]
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
             n_fail += 1
             continue
+        drift = type_drift(sdf, atbl.schema)
         s_canon, s_names = canon(scols, srows)
         d_canon, d_names = canon(dcols, drows)
-        if s_names != d_names:
+        if drift:
+            print(f"FAIL {name}: type drift (driver hash-mismatch): {drift}")
+            n_fail += 1
+        elif s_names != d_names:
             print(f"FAIL {name}: columns {s_names} vs {d_names}")
             n_fail += 1
         elif len(s_canon) != len(d_canon):
