@@ -160,12 +160,34 @@ def ngram_jaccard_pairs(
     block_col: str = "lang",
     threshold: float = 0.8,
     n: int = 2,
+    prefix_filter: bool = True,
 ) -> DataFrame:
-    """Near-dup pairs by word-n-gram Jaccard within a blocking key.
+    """Near-dup pairs by word-n-gram Jaccard within a blocking key,
+    candidate-bounded by EXACT prefix filtering (the All-Pairs / parallel
+    set-similarity-join construction: Bayardo et al. WWW'07, Vernica et
+    al. SIGMOD'10 — public algorithms).
 
-    Token-inverted-index join (explode distinct n-grams, self-join on the
-    n-gram within the block) → intersection counts; |A∪B| = |A|+|B|−|A∩B|.
-    Blocking bounds the candidate set; at 100 TB chain behind minhash_lsh."""
+    Why not a plain inverted-index self-join: inside one dominant block
+    (``lang='en'`` at 100 TB) frequent grams make that join near-quadratic.
+    Prefix filtering keeps it exact while joining only on each document's
+    ``|g| - ceil(t*|g|) + 1`` RAREST grams (global rarity order): if
+    J(A,B) >= t then |A∩B| >= t*max(|A|,|B|), so fewer than that many
+    grams of either doc can precede the first common gram in the global
+    order — the first common gram lies in BOTH prefixes, and the prefix
+    join finds every qualifying pair. A size-ratio predicate
+    (t*max <= min) prunes further, also implied by J >= t.
+
+    Stages (all blocked/bounded):
+      1. distinct n-grams per doc (explode AFTER array_distinct);
+      2. gram document-frequencies (hash agg) -> per-doc rarity ranks;
+      3. candidate pairs: prefix self-join on (block, gram) + size-ratio;
+      4. exact intersection counts: candidates joined back to the FULL
+         gram sets (join keys carry the doc id -> fully blocked);
+      5. |A∪B| = |A|+|B|−|A∩B| -> Jaccard -> threshold.
+
+    Output is IDENTICAL to the unfiltered join (prefix filtering is
+    lossless for J >= t), which is what the DuckDB oracle checks.
+    """
     words = _words(F.col(text_col))
     cnt = F.size(words)
     idx = F.sequence(F.lit(1), F.greatest(cnt - n + 1, F.lit(1)))
@@ -178,17 +200,60 @@ def ngram_jaccard_pairs(
         F.explode(grams).alias("g"),
     )
     sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
-    inter = (
-        toks.alias("l")
-        .join(
-            toks.alias("r"),
-            (F.col("l.blk") == F.col("r.blk"))
-            & (F.col("l.g") == F.col("r.g"))
-            & (F.col("l.id") < F.col("r.id")),
+
+    if prefix_filter:
+        from pyspark.sql import Window
+
+        freq = toks.groupBy("blk", "g").agg(F.count("*").alias("df"))
+        w = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("g"))
+        prefix = (
+            toks.join(freq, ["blk", "g"])
+            .join(sizes, "id")
+            .withColumn("rn", F.row_number().over(w))
+            # the 1e-9 slack biases float boundary cases toward a LONGER
+            # prefix / LOOSER ratio — extra candidates are re-verified
+            # exactly in stage 4, missing ones would be lost
+            .filter(
+                F.col("rn")
+                <= F.col("sz")
+                - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9))
+                + 1
+            )
+            .select("id", "blk", "g", "sz")
         )
-        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
-    )
+        cand = (
+            prefix.alias("l")
+            .join(
+                prefix.alias("r"),
+                (F.col("l.blk") == F.col("r.blk"))
+                & (F.col("l.g") == F.col("r.g"))
+                & (F.col("l.id") < F.col("r.id"))
+                & (F.col("l.sz") * threshold - 1e-9 <= F.col("r.sz"))
+                & (F.col("r.sz") * threshold - 1e-9 <= F.col("l.sz")),
+            )
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+            .distinct()
+        )
+        ga = toks.select(F.col("id").alias("id_a"), "g")
+        gb = toks.select(F.col("id").alias("id_b"), "g")
+        inter = (
+            cand.join(ga, "id_a")
+            .join(gb, ["id_b", "g"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        inter = (
+            toks.alias("l")
+            .join(
+                toks.alias("r"),
+                (F.col("l.blk") == F.col("r.blk"))
+                & (F.col("l.g") == F.col("r.g"))
+                & (F.col("l.id") < F.col("r.id")),
+            )
+            .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+            .agg(F.count("*").alias("inter"))
+        )
     out = (
         inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
@@ -211,6 +276,7 @@ def dedup_clusters(
     max_iterations: int = 20,
     a_col: str = "id_a",
     b_col: str = "id_b",
+    checkpoint_every: int = 3,
 ) -> DataFrame:
     """Near-dup candidate pairs -> duplicate clusters (connected
     components) -> ``(id, cluster_id)`` with cluster_id = min member id.
@@ -221,6 +287,13 @@ def dedup_clusters(
     practice). Each round is one join + one hash agg; iteration stops
     early on a driver-checked convergence count. The follow-up "keep one
     representative per cluster" is ``filter(id == cluster_id)``.
+
+    Every ``checkpoint_every`` rounds the label frame is
+    ``localCheckpoint``-ed: iterative self-joins otherwise stack the
+    logical plan each round and Catalyst planning blows up long before
+    the data does (on a long-running production cluster prefer reliable
+    ``checkpoint()`` to survive executor loss; local truncation is the
+    right default for a bounded job).
     """
     edges = (
         pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
@@ -236,22 +309,26 @@ def dedup_clusters(
     )
     edges = edges.persist()
     labels = labels.persist()
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.b == labels.id)
             .groupBy("a")
             .agg(F.min("cluster_id").alias("nmin"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
-                ).alias("cluster_id"),
-            )
-            .persist()
+        new_labels = labels.join(
+            neighbor_min, labels.id == neighbor_min.a, "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
+            ).alias("cluster_id"),
         )
+        if (it + 1) % checkpoint_every == 0:
+            # truncate the stacked self-join lineage (plan depth is the
+            # iterative-algorithm scale killer, not row counts)
+            new_labels = new_labels.localCheckpoint()
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")

@@ -28,7 +28,21 @@ def tail(df: DataFrame, order: str, n: int) -> DataFrame:
 @register("sample_nth")
 def nth(df: DataFrame, order: str, divider: int) -> DataFrame:
     """``nth`` filter (task/sample/nth.go:22-32): every divider-th record by
-    position (0-based index % divider == 0)."""
+    position (0-based index % divider == 0).
+
+    DEPRECATED at scale: positional indexing of unordered distributed data
+    requires a GLOBAL row_number window — a single-task sort that cannot
+    scale past one executor's memory. Kept for small-data parity with the
+    reference; use :func:`nth_keyed` (the order column is dense, e.g. the
+    LSN) which is a pure pushed-down filter."""
+    import warnings
+
+    warnings.warn(
+        "sampling.nth uses a global single-task sort window; "
+        "use nth_keyed(order, divider) at scale",
+        DeprecationWarning,
+        stacklevel=2,
+    )
     w = Window.orderBy(F.col(order).asc())
     return (
         df.withColumn("_idx", F.row_number().over(w) - 1)
