@@ -106,6 +106,10 @@ def main() -> None:
     qs = entrymod.queries()
     per_query: dict[str, float] = {}
     total = 0.0
+    # untimed JVM/JIT warm-up BEFORE the timed loop: without it the first
+    # timed query absorbs whole-stage-codegen + C2 compilation cost and
+    # per-query numbers aren't comparable round over round
+    qs[BENCH_QUERIES[0]](spark, sf_dir).count()
     for name in BENCH_QUERIES:
         t0 = time.time()
         df = qs[name](spark, sf_dir)

@@ -1,0 +1,158 @@
+"""Connector surface: HTTP pagination (next-page-context loop), Excel
+reader (import-gated), and the SQS-semantics queue double driving the
+exactly-once sink under competing consumers and redelivery."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import types as T
+
+from caterpillar_spark.sources.http import paginate
+from caterpillar_spark.sources.queue import InMemoryQueue
+
+# ---------------------------------------------------------------- http
+PAGES = {
+    None: {"items": [{"id": 1, "v": "a"}, {"id": 2, "v": "b"}], "next": "p2"},
+    "p2": {"items": [{"id": 3, "v": "c"}], "next": "p3"},
+    "p3": {"items": [{"id": 4, "v": "d"}], "next": None},
+}
+
+
+def test_paginate_follows_next_context(spark):
+    df = paginate(
+        spark,
+        fetch_fn=lambda ctx: PAGES[ctx],
+        records_fn=lambda r: r["items"],
+        next_context_fn=lambda r: r["next"],
+        schema=T.StructType(
+            [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+        ),
+    )
+    rows = sorted((r["id"], r["v"]) for r in df.collect())
+    assert rows == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+
+
+def test_paginate_detects_cycle(spark):
+    with pytest.raises(RuntimeError, match="did not terminate"):
+        paginate(
+            spark,
+            fetch_fn=lambda ctx: {"items": [], "next": "loop"},
+            records_fn=lambda r: r["items"],
+            next_context_fn=lambda r: r["next"],
+            max_pages=10,
+        )
+
+
+# ---------------------------------------------------------------- xlsx
+def test_read_excel_or_clean_gate(spark, tmp_path):
+    from caterpillar_spark.sources.xlsx import read_excel
+
+    try:
+        import openpyxl  # noqa: F401
+
+        have_engine = True
+    except ImportError:
+        have_engine = False
+
+    path = str(tmp_path / "t.xlsx")
+    if not have_engine:
+        with pytest.raises(RuntimeError, match="Excel engine"):
+            read_excel(spark, path)
+        return
+    import pandas as pd
+
+    pd.DataFrame(
+        {"Order ID": [1, 2], "Unit Price!": [1.5, None]}
+    ).to_excel(path, index=False)
+    df = read_excel(spark, path)
+    assert df.columns == ["order_id", "unit_price"]
+    got = sorted((r["order_id"], r["unit_price"]) for r in df.collect())
+    assert got == [("1", "1.5"), ("2", None)]
+
+
+# ---------------------------------------------------------------- queue
+def test_queue_at_least_once_and_competing_consumers():
+    q = InMemoryQueue()
+    for i in range(4):
+        q.send({"n": i})
+    # two competing consumers receive DISJOINT sets
+    a = q.receive(max_messages=2, visibility_timeout=100)
+    b = q.receive(max_messages=2, visibility_timeout=2)
+    assert {m["n"] for _, m in a}.isdisjoint({m["n"] for _, m in b})
+    assert len(a) == len(b) == 2
+    # consumer B "crashes" (no ack): its messages reappear after timeout
+    for receipt, _ in a:
+        assert q.ack(receipt)
+    redelivered = []
+    for _ in range(5):
+        redelivered += q.receive(max_messages=2, visibility_timeout=100)
+    assert {m["n"] for _, m in redelivered} == {m["n"] for _, m in b}
+    for receipt, _ in redelivered:
+        q.ack(receipt)
+    assert q.pending() == 0
+    assert not q.ack(999)  # unknown receipt is a no-op
+
+
+def test_queue_redelivery_is_exactly_once_through_ledger(spark, tmp_path):
+    """The queue is at-least-once BY DESIGN (crash before ack =>
+    redelivery); the snapshot ledger turns it into exactly-once: the
+    redelivered batch's LSN range is already applied, so the merge no-ops
+    and the final state matches the send-once oracle."""
+    from caterpillar_spark.cdc import apply_changes
+    from caterpillar_spark.sinks.snapshot_table import SnapshotTable
+
+    payload = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("tool", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    event = T.StructType(
+        [T.StructField("lsn", T.LongType()), T.StructField("op", T.StringType())]
+        + list(payload.fields)
+    )
+    ts = dt.datetime(2024, 1, 1)
+
+    def batch_df(msgs):
+        return spark.createDataFrame(
+            [
+                (m["lsn"], m["op"], m["conv"], 0, "user", m["text"], None, ts)
+                for _, m in msgs
+            ],
+            event,
+        )
+
+    q = InMemoryQueue()
+    for lsn in range(6):
+        q.send(
+            {"lsn": lsn, "op": "I" if lsn < 3 else "U",
+             "conv": f"c{lsn % 3}", "text": f"t{lsn}"}
+        )
+    tbl = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=4).create(payload)
+
+    # consumer 1 processes batch [0..2] but CRASHES BEFORE ACK
+    m1 = q.receive(max_messages=3, visibility_timeout=2)
+    apply_changes(batch_df(m1), tbl, batch_id=0)
+
+    # consumer 2 drains everything (incl. the redelivered batch), acking
+    applied, skipped = 0, 0
+    for _ in range(10):
+        msgs = q.receive(max_messages=3, visibility_timeout=100)
+        if not msgs:
+            break
+        res = apply_changes(batch_df(msgs), tbl, batch_id=1 + applied + skipped)
+        if res.snapshot_version == -1:
+            skipped += 1
+        else:
+            applied += 1
+        for receipt, _ in msgs:
+            q.ack(receipt)
+    assert skipped >= 1, "redelivered batch must be ledger-skipped"
+    got = sorted((r["conv_id"], r["text"]) for r in tbl.read().collect())
+    assert got == [("c0", "t3"), ("c1", "t4"), ("c2", "t5")]
