@@ -430,6 +430,14 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_bucketed_topk(emb, queries, k=5, n_planes=4, dim=64)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    from caterpillar_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=2)
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     from caterpillar_spark.operators.similarity import cosine_neardup_pairs
 
@@ -588,6 +596,106 @@ def q_uuid(spark, sf_dir):
     )
 
 
+def q_translate_fn(spark, sf_dir):
+    from caterpillar_spark.functions import translate
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", translate("text", "aeiou", "AEIOU").alias("xlat")
+    )
+
+
+def q_xpath_extract(spark, sf_dir):
+    """xpath task over synthetic XML (built from the shared events table so
+    the oracle knows the embedded ground truth): xpath_string runs Hive's
+    JVM UDF — extraction must reproduce the embedded values exactly."""
+    from caterpillar_spark.operators.text import xpath_extract
+
+    ev = _t(spark, sf_dir, "events")
+    xml = ev.select(
+        "event_id",
+        F.format_string(
+            "<e><u>%s</u><t>%s</t></e>",
+            F.col("user_id").cast("string"),
+            F.col("event_type"),
+        ).alias("xml"),
+    )
+    return xpath_extract(xml, "xml", {"u": "/e/u", "t": "/e/t"}).select(
+        "event_id", "u", "t"
+    )
+
+
+def q_html_tables(spark, sf_dir):
+    """html converter over synthetic table markup (ground truth embedded,
+    so the stdlib-parser kernel is value-checked end to end)."""
+    from caterpillar_spark.sources.html import html_table_records
+
+    docs = _t(spark, sf_dir, "documents")
+    html = docs.select(
+        "doc_id",
+        F.format_string(
+            "<html><body><table><tr><th>Lang Code</th><th>Src!</th></tr>"
+            "<tr><td>%s</td><td>%s</td></tr></table></body></html>",
+            F.col("lang"),
+            F.col("source"),
+        ).alias("html"),
+    )
+    recs = html_table_records(html)
+    return recs.select(
+        "doc_id",
+        "table_idx",
+        "row_idx",
+        recs["cells"]["lang_code"].alias("lang_code"),
+        recs["cells"]["src"].alias("src"),
+    )
+
+
+def q_eml_parse(spark, sf_dir):
+    """eml converter over synthetic RFC-5322 messages (stdlib email parser
+    in mapInPandas; ground truth embedded -> full value oracle)."""
+    from caterpillar_spark.sources.eml import parse_eml
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id",
+        F.encode(
+            F.format_string(
+                "Subject: doc %s\r\nFrom: sender@example.com\r\n"
+                "To: dest@example.com\r\nDate: Mon, 1 Jan 2024 00:00:00 +0000"
+                "\r\n\r\nbody lang=%s\r\n",
+                F.col("doc_id").cast("string"),
+                F.col("lang"),
+            ),
+            "utf-8",
+        ).alias("raw"),
+    )
+    return parse_eml(raw).select(
+        "doc_id", "subject", "from_addr", "body_text", "n_attachments"
+    )
+
+
+def q_rsa_sha256(spark, sf_dir):
+    """RSA PKCS#1 v1.5 signing (rows-only: DuckDB has no RSA; the
+    signature correctness itself is pytest-verified against the public
+    key). The key is generated fresh per run — RSA keys are not derivable
+    deterministically, and certified CDC paths never use this fn."""
+    from cryptography.hazmat.primitives import serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+
+    from caterpillar_spark.functions import rsa_sha256
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    pem = key.private_bytes(
+        serialization.Encoding.PEM,
+        serialization.PrivateFormat.PKCS8,
+        serialization.NoEncryption(),
+    ).decode()
+    docs = _t(spark, sf_dir, "documents").limit(100)
+    return docs.select(
+        "doc_id", rsa_sha256(F.lit(pem), F.col("text")).alias("sig")
+    )
+
+
 def q_hmac_sha512(spark, sf_dir):
     from caterpillar_spark.functions import hmac_sha512
 
@@ -623,8 +731,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hmac_sha256": q_hmac_sha256,
         "hmac_sha512": q_hmac_sha512,
         "hmac_md5": q_hmac_md5,
+        "rsa_sha256": q_rsa_sha256,
         "uuid": q_uuid,
         "shuffle_array": q_shuffle_array,
+        "translate_fn": q_translate_fn,
+        "xpath_extract": q_xpath_extract,
+        "html_tables": q_html_tables,
+        "eml_parse": q_eml_parse,
         "sample_head": q_sample_head,
         "sample_tail": q_sample_tail,
         "sample_nth": q_sample_nth,
@@ -656,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "media_features": q_media_features,
     }
@@ -1061,6 +1175,57 @@ def oracle_sql() -> dict[str, str]:
             ) AS rank FROM scored
           ) WHERE rank <= 5
         """,
+        "ann_ivf_topk": """
+          WITH cent AS (
+            SELECT vec_id AS cid,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+            FROM embeddings WHERE vec_id < 8
+          ), c AS (
+            SELECT vec_id AS neighbor_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+          ), ca AS (
+            SELECT neighbor_id, v, cid FROM (
+              SELECT neighbor_id, v, cid, row_number() OVER (
+                PARTITION BY neighbor_id ORDER BY sim DESC, cid ASC) AS rn
+              FROM (
+                SELECT neighbor_id, v, cid,
+                       round(list_dot_product(v, cv)
+                             / (sqrt(list_dot_product(v, v))
+                                * sqrt(list_dot_product(cv, cv))), 6) AS sim
+                FROM c, cent)
+            ) WHERE rn = 1
+          ), q AS (
+            SELECT vec_id AS query_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+            FROM embeddings WHERE vec_id < 5
+          ), qp AS (
+            SELECT query_id, qv, cid FROM (
+              SELECT query_id, qv, cid, row_number() OVER (
+                PARTITION BY query_id ORDER BY sim DESC, cid ASC) AS rn
+              FROM (
+                SELECT query_id, qv, cid,
+                       round(list_dot_product(qv, cv)
+                             / (sqrt(list_dot_product(qv, qv))
+                                * sqrt(list_dot_product(cv, cv))), 6) AS sim
+                FROM q, cent)
+            ) WHERE rn <= 2
+          ), scored AS (
+            SELECT query_id, neighbor_id,
+                   round(list_dot_product(qv, v)
+                         / (sqrt(list_dot_product(qv, qv))
+                            * sqrt(list_dot_product(v, v))), 6) AS cos_sim
+            FROM ca JOIN qp USING (cid)
+            WHERE neighbor_id <> query_id
+          )
+          SELECT query_id, neighbor_id, cos_sim,
+                 CAST(rank AS INTEGER) AS rank
+          FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+            ) AS rank FROM scored
+          ) WHERE rank <= 5
+        """,
         "dedup_embedding_cosine": f"""
           WITH e AS (
             SELECT vec_id AS id,
@@ -1128,6 +1293,32 @@ def oracle_sql() -> dict[str, str]:
                  concat_ws(',', {", ".join(f"CAST(floor(c{k} / CAST(total AS DOUBLE) * 10000 + 0.5) AS INTEGER)" for k in range(8))}) AS feature_sig
           FROM f
         """,
+        "translate_fn": """
+          SELECT doc_id, translate(text, 'aeiou', 'AEIOU') AS xlat
+          FROM documents
+        """,
+        # ground truth was embedded into the synthetic XML/HTML/EML, so the
+        # extraction kernels are value-checked against identity expressions
+        "xpath_extract": """
+          SELECT event_id, CAST(user_id AS VARCHAR) AS u, event_type AS t
+          FROM events
+        """,
+        "html_tables": """
+          SELECT doc_id,
+                 CAST(0 AS INTEGER) AS table_idx,
+                 CAST(0 AS INTEGER) AS row_idx,
+                 lang AS lang_code,
+                 source AS src
+          FROM documents
+        """,
+        "eml_parse": """
+          SELECT doc_id,
+                 'doc ' || CAST(doc_id AS VARCHAR) AS subject,
+                 'sender@example.com' AS from_addr,
+                 'body lang=' || lang AS body_text,
+                 CAST(0 AS INTEGER) AS n_attachments
+          FROM documents
+        """,
         # deterministic invariants of the non-deterministic functions:
         # shuffle preserves array cardinality; uuid is RFC-4122 36 chars
         "shuffle_array": """
@@ -1141,8 +1332,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         # rows-only (non-SQL-expressible or non-deterministic-by-design):
         # cdc_replay_final_state (on-disk generator table; its oracle twin
-        # over shared input is cdc_replay_events), hmac_sha256/512/md5
-        # (no HMAC in DuckDB), sample_percent / sample_random (seeded
+        # over shared input is cdc_replay_events), hmac_sha256/512/md5 and
+        # rsa_sha256 (no HMAC/RSA in DuckDB; pytest-verified vs hashlib /
+        # public-key verify), sample_percent / sample_random (seeded
         # engine RNG not reproducible cross-engine)
     }
 

@@ -48,6 +48,7 @@ def apply_changes(
     offset_range: tuple[int, int] | None = None,
     prune: bool | None = None,
     mode: str = "auto",
+    batch_rows: int | None = None,
 ) -> BatchResult:
     """Apply one ordered change-event batch to the table, exactly once.
 
@@ -111,6 +112,23 @@ def apply_changes(
             batch_id, -1, offset_range[0], offset_range[1], 0, time.time() - t0
         )
 
+    # bulk fast path: when the batch (row count known free from segment
+    # footers) is at least table-sized, file pruning cannot save anything —
+    # skip the per-bucket stats job entirely and declare every bucket
+    # affected with unknown key ranges (all files become rewrite
+    # candidates, which is what a table-sized batch forces anyway)
+    if incoming is None and batch_rows is not None and mode == "auto":
+        snap = table.snapshot()
+        tbl_rows = sum(
+            int(s.get("rows") or 0) for s in snap.file_stats.values()
+        )
+        if batch_rows >= tbl_rows:
+            per_b = max(1, batch_rows // table.n_buckets)
+            incoming = {
+                b: (None, None, per_b) for b in range(table.n_buckets)
+            }
+            mode = "cow"
+
     # no pre-dedup: merge's union + max_by aggregation IS the last-writer-
     # wins reducer — deduping here first would shuffle the batch twice
     version, obs_counts = table.merge(
@@ -131,8 +149,8 @@ def apply_changes(
     )
 
 
-def lsn_range_from_footers(path: str) -> tuple[int, int] | None:
-    """LSN range of a log segment from parquet footer statistics —
+def segment_footer_stats(path: str) -> tuple[int, int, int] | None:
+    """(lsn_lo, lsn_hi, rows) of a log segment from parquet footers —
     driver-side milliseconds, no Spark job. Binlog segments carry their
     offset range in metadata, exactly like real binlog files carry their
     LSN span in the header."""
@@ -141,6 +159,7 @@ def lsn_range_from_footers(path: str) -> tuple[int, int] | None:
     import pyarrow.parquet as pq
 
     lo = hi = None
+    rows = 0
     for f in os.listdir(path):
         if not f.endswith(".parquet"):
             continue
@@ -148,13 +167,19 @@ def lsn_range_from_footers(path: str) -> tuple[int, int] | None:
         idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
         if "lsn" not in idx:
             return None
+        rows += md.num_rows
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx["lsn"]).statistics
             if st is None or not st.has_min_max:
                 return None
             lo = st.min if lo is None else min(lo, st.min)
             hi = st.max if hi is None else max(hi, st.max)
-    return None if lo is None else (int(lo), int(hi))
+    return None if lo is None else (int(lo), int(hi), rows)
+
+
+def lsn_range_from_footers(path: str) -> tuple[int, int] | None:
+    st = segment_footer_stats(path)
+    return None if st is None else (st[0], st[1])
 
 
 def replay_chunks(
@@ -184,14 +209,16 @@ def replay_chunks(
     schema = spark.read.parquet(paths[-1]).schema
     for i, path in enumerate(paths):
         events = spark.read.schema(schema).parquet(path)
+        st = segment_footer_stats(path)
         results.append(
             apply_changes(
                 events,
                 table,
                 batch_id=i,
                 stream_id=stream_id,
-                offset_range=lsn_range_from_footers(path),
+                offset_range=None if st is None else (st[0], st[1]),
                 mode=mode,
+                batch_rows=None if st is None else st[2],
             )
         )
     return results

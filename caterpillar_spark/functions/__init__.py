@@ -44,6 +44,13 @@ def shuffle(array_col) -> Column:
     return F.shuffle(array_col)
 
 
+def translate(col, matching: str, replace: str) -> Column:
+    """jq ``translate`` (character-map substitution): Spark's builtin
+    ``F.translate`` — JVM-side, codegen; DuckDB has the same function so
+    it is fully oracle-checkable."""
+    return F.translate(F.col(col) if isinstance(col, str) else col, matching, replace)
+
+
 def shared_hash64(col) -> Column:
     """Deterministic 60-bit hash computable identically in DuckDB:
     Spark  : conv(substr(md5(x),1,15),16,10)::long
@@ -86,3 +93,50 @@ def _hmac_pandas(algo: str):
 hmac_sha256 = _hmac_pandas("sha256")  # jq hmac_sha256 (crypto.go:75-80)
 hmac_sha512 = _hmac_pandas("sha512")  # jq hmac_sha512 (crypto.go:81-86)
 hmac_md5 = _hmac_pandas("md5")  # jq hmac_md5    (crypto.go:87-91)
+
+
+def _rsa_pandas(hash_name: str):
+    """RSA PKCS#1 v1.5 signatures — the reference's jq ``rsa_sha256`` /
+    ``rsa_sha512`` (crypto.go RSA signing; Go's SignPKCS1v15, which is
+    deterministic for a fixed key+message, unlike randomized PSS — the
+    property certified paths need). Vectorized pandas UDF over the
+    ``cryptography`` package; the key parses once per Arrow batch, not per
+    row. Returns hex signatures; None key/message -> None."""
+    cache: dict[str, object] = {}
+
+    def make():
+        @pandas_udf("string")
+        def fn(key_pem: pd.Series, msg: pd.Series) -> pd.Series:
+            from cryptography.hazmat.primitives import hashes, serialization
+            from cryptography.hazmat.primitives.asymmetric import padding
+
+            algo = {"sha256": hashes.SHA256, "sha512": hashes.SHA512}[hash_name]()
+            keys: dict[str, object] = {}
+            out = []
+            for k, m in zip(key_pem, msg):
+                if k is None or m is None:
+                    out.append(None)
+                    continue
+                if k not in keys:
+                    keys[k] = serialization.load_pem_private_key(
+                        k.encode("utf-8"), password=None
+                    )
+                out.append(
+                    keys[k]
+                    .sign(m.encode("utf-8"), padding.PKCS1v15(), algo)
+                    .hex()
+                )
+            return pd.Series(out)
+
+        return fn
+
+    def call(key_pem, msg) -> Column:
+        if "udf" not in cache:
+            cache["udf"] = make()
+        return cache["udf"](key_pem, msg)
+
+    return call
+
+
+rsa_sha256 = _rsa_pandas("sha256")  # jq rsa_sha256 (crypto.go RSA sign)
+rsa_sha512 = _rsa_pandas("sha512")  # jq rsa_sha512

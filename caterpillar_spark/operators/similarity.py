@@ -127,6 +127,79 @@ def lsh_bucketed_topk(
     )
 
 
+@register("ann_ivf_topk")
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: the corpus is partitioned into K centroid
+    lists; a query probes only its ``n_probe`` nearest lists, then exact
+    cosine re-ranks the candidates — the classic coarse-quantizer index
+    (IVF-Flat), the other standard ANN scale path next to LSH.
+
+    Plan shape at 10^9 vectors: ONE corpus scan joined against K broadcast
+    centroids (assignment), a shuffle keyed by centroid id, and a
+    candidate join blocked on centroid id — never an all-pairs product.
+    Centroids here are a deterministic corpus sample (first K by id) so
+    runs and the DuckDB oracle reproduce exactly; a k-means refinement
+    drops in without changing any join (only the centroid table's values).
+    Assignment order uses ROUNDED cosine + centroid-id tie-break — the
+    discrete choice must match across engines, and raw-double ordering is
+    one ulp away from divergence."""
+    cent = corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cent_vec")
+    )
+
+    def assign(df: DataFrame, idn: str, vecn: str, n_best: int) -> DataFrame:
+        w = Window.partitionBy(idn).orderBy(F.desc("sim"), F.asc("cid"))
+        return (
+            df.crossJoin(F.broadcast(cent))
+            .withColumn(
+                "sim", F.round(cosine(F.col(vecn), F.col("cent_vec")), 6)
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= n_best)
+            .select(idn, vecn, "cid")
+        )
+
+    c_assigned = assign(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        ),
+        "neighbor_id",
+        "cvec",
+        1,
+    )
+    q_probes = assign(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        ),
+        "query_id",
+        "qvec",
+        n_probe,
+    )
+    scored = (
+        c_assigned.join(q_probes, "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 @register("dedup_embedding_cosine")
 def cosine_neardup_pairs(
     df: DataFrame,

@@ -74,6 +74,24 @@ def json_project(df: DataFrame, col: str, paths: dict[str, str]) -> DataFrame:
     )
 
 
+@register("xpath")
+def xpath_extract(
+    df: DataFrame, col: str, paths: dict[str, str], as_array: bool = False
+) -> DataFrame:
+    """``xpath`` task (task/xpath/xpath.go:30-107): extract values from an
+    XML-string column by XPath. Spark ships Hive's xpath UDFs JVM-side
+    (``xpath_string`` scalar / ``xpath`` node-list) — no Python, no lxml;
+    the per-record goquery walk in the reference becomes codegen here.
+
+    ``paths``: output column -> XPath. ``as_array`` extracts every match
+    as ``array<string>`` (the reference emits one record per match; chain
+    ``F.explode`` for that shape)."""
+    fn = F.xpath if as_array else F.xpath_string
+    return df.select(
+        "*", *[fn(F.col(col), F.lit(p)).alias(a) for a, p in paths.items()]
+    )
+
+
 @register("concat_batch")
 def concat_group(
     df: DataFrame, group: list[str], order: str, col: str, delim: str

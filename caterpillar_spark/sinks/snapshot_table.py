@@ -655,13 +655,19 @@ class SnapshotTable:
         return removed
 
     # ------------------------------------------------------------ compact
-    def compact(self, drop_tombstones: bool = True) -> int:
+    def compact(
+        self, drop_tombstones: bool = True, buckets: list[int] | None = None
+    ) -> int:
         """Fold merge-on-read deltas into key-unique base files and rewrite
         small files (optionally purging tombstones once replay protection
-        no longer needs them). After compact the read path is reduction-free
-        again — Iceberg's rewrite_data_files + MoR compaction in one."""
+        no longer needs them) — Iceberg's rewrite_data_files + MoR
+        compaction in one. ``buckets`` limits the rewrite to a subset (the
+        unit of incremental maintenance at 100 TB: compact the buckets
+        whose delta backlog grew, leave the cold ones byte-untouched).
+        After a FULL compact the read path is reduction-free again."""
         snap = self.snapshot()
-        paths = self._bucket_paths(snap, list(range(self.n_buckets)))
+        sel = list(range(self.n_buckets)) if buckets is None else sorted(buckets)
+        paths = self._bucket_paths(snap, sel)
         if not paths:
             return snap.version
         payload_cols = [f.name for f in self.payload_schema(snap)]
@@ -671,20 +677,50 @@ class SnapshotTable:
         new_version = snap.version + 1
         data_dir = self._new_data_dir(new_version)
         by_bucket = self._write_bucketed(df, data_dir)
+        new_buckets = dict(snap.buckets)
+        new_deltas = {k: list(v) for k, v in snap.deltas.items()}
+        for b in sel:
+            new_buckets[str(b)] = by_bucket.get(b, [])
+            new_deltas.pop(str(b), None)
         new_paths = [p for ps in by_bucket.values() for p in ps]
+        referenced = {
+            p
+            for ps in list(new_buckets.values()) + list(new_deltas.values())
+            for p in ps
+        }
+        file_stats = {p: s for p, s in snap.file_stats.items() if p in referenced}
+        file_stats.update(self._collect_file_stats(new_paths))
         self._commit(
             Snapshot(
                 version=new_version,
                 schema_json=snap.schema_json,
-                buckets={
-                    str(b): by_bucket.get(b, []) for b in range(self.n_buckets)
-                },
+                buckets=new_buckets,
                 applied=snap.applied,
                 lineage=[],
                 parent=snap.version,
                 properties=snap.properties,
-                deltas={},
-                file_stats=self._collect_file_stats(new_paths),
+                deltas=new_deltas,
+                file_stats=file_stats,
             )
         )
         return new_version
+
+    def maintain(
+        self, max_delta_files: int = 4, max_base_files: int = 8
+    ) -> int:
+        """Incremental maintenance policy: compact ONLY the buckets whose
+        delta backlog (or base-file fragmentation) crossed the thresholds.
+        Returns the new version, or the current one if nothing qualified.
+        This is the background loop a 10^10-event deployment runs between
+        merges so read-side reduction cost stays bounded while hot buckets
+        never force cold-bucket rewrites."""
+        snap = self.snapshot()
+        due = [
+            b
+            for b in range(self.n_buckets)
+            if len(snap.deltas.get(str(b), [])) >= max_delta_files
+            or len(snap.buckets.get(str(b), [])) >= max_base_files
+        ]
+        if not due:
+            return snap.version
+        return self.compact(drop_tombstones=False, buckets=due)

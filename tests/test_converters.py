@@ -1,0 +1,120 @@
+"""Converter/function parity additions: xpath (Hive JVM UDF), html table
+records (stdlib parser kernel), eml parsing, translate, RSA signing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_xpath_scalar_and_array(spark):
+    from caterpillar_spark.operators.text import xpath_extract
+
+    df = spark.createDataFrame(
+        [(1, "<r><a>x</a><a>y</a><b>7</b></r>"), (2, "<r><b>8</b></r>")],
+        ["id", "xml"],
+    )
+    scalar = xpath_extract(df, "xml", {"b": "/r/b"})
+    assert {(r["id"], r["b"]) for r in scalar.collect()} == {(1, "7"), (2, "8")}
+    arr = xpath_extract(df, "xml", {"a": "/r/a/text()"}, as_array=True)
+    got = {r["id"]: list(r["a"]) for r in arr.collect()}
+    assert got == {1: ["x", "y"], 2: []}
+    # one-record-per-match shape (the reference's emit semantics)
+    exploded = arr.select("id", F.explode("a").alias("v"))
+    assert {(r["id"], r["v"]) for r in exploded.collect()} == {(1, "x"), (1, "y")}
+
+
+def test_html_table_records(spark):
+    from caterpillar_spark.sources.html import html_table_records
+
+    doc = """
+    <html><body>
+      <p>noise</p>
+      <table>
+        <tr><th>Order ID</th><th>Unit Price!</th></tr>
+        <tr><td>1</td><td> 9.50 </td></tr>
+        <tr><td>2</td><td>3</td></tr>
+      </table>
+      <table><tr><td>headerless</td></tr></table>
+    </body></html>
+    """
+    df = spark.createDataFrame([(7, doc)], ["doc_id", "html"])
+    rows = sorted(
+        (r["table_idx"], r["row_idx"], dict(r["cells"]))
+        for r in html_table_records(df).collect()
+    )
+    assert rows == [
+        (0, 0, {"order_id": "1", "unit_price": "9.50"}),
+        (0, 1, {"order_id": "2", "unit_price": "3"}),
+    ]
+
+
+def test_eml_parse(spark):
+    from caterpillar_spark.sources.eml import parse_eml
+
+    raw = (
+        b"Subject: hello\r\nFrom: a@x.com\r\nTo: b@y.com\r\n"
+        b"Date: Mon, 1 Jan 2024 00:00:00 +0000\r\n"
+        b"MIME-Version: 1.0\r\nContent-Type: multipart/mixed; boundary=B\r\n"
+        b"\r\n--B\r\nContent-Type: text/plain\r\n\r\nthe body\r\n"
+        b"--B\r\nContent-Type: application/octet-stream\r\n"
+        b'Content-Disposition: attachment; filename="f.bin"\r\n\r\nxx\r\n--B--\r\n'
+    )
+    df = spark.createDataFrame([(1, raw)], ["doc_id", "raw"])
+    r = parse_eml(df).collect()[0]
+    assert r["subject"] == "hello"
+    assert r["from_addr"] == "a@x.com"
+    assert r["body_text"] == "the body"
+    assert r["n_attachments"] == 1
+    assert list(r["attachment_names"]) == ["f.bin"]
+
+
+def test_translate(spark):
+    from caterpillar_spark.functions import translate
+
+    df = spark.createDataFrame([("hello aeiou",)], ["s"])
+    assert (
+        df.select(translate("s", "aeiou", "AEIOU").alias("t")).collect()[0]["t"]
+        == "hEllO AEIOU"
+    )
+
+
+def test_rsa_signing_verifies(spark):
+    """Signatures must verify against the public key and be deterministic
+    (PKCS#1 v1.5, like Go's SignPKCS1v15 in the reference's crypto fns)."""
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import padding, rsa
+
+    from caterpillar_spark.functions import rsa_sha256, rsa_sha512
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    pem = key.private_bytes(
+        serialization.Encoding.PEM,
+        serialization.PrivateFormat.PKCS8,
+        serialization.NoEncryption(),
+    ).decode()
+    df = spark.createDataFrame([("msg-a",), ("msg-b",), (None,)], ["m"])
+    out = {
+        r["m"]: r["sig"]
+        for r in df.select(
+            "m",
+            rsa_sha256(F.lit(pem), F.col("m")).alias("sig"),
+            rsa_sha512(F.lit(pem), F.col("m")).alias("sig512"),
+        ).collect()
+    }
+    assert out[None] is None
+    pub = key.public_key()
+    for m in ("msg-a", "msg-b"):
+        pub.verify(  # raises InvalidSignature on mismatch
+            bytes.fromhex(out[m]),
+            m.encode(),
+            padding.PKCS1v15(),
+            hashes.SHA256(),
+        )
+    # deterministic: re-signing yields identical hex
+    again = {
+        r["m"]: r["sig"]
+        for r in df.select(
+            "m", rsa_sha256(F.lit(pem), F.col("m")).alias("sig")
+        ).collect()
+    }
+    assert again == out

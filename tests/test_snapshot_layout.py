@@ -239,6 +239,49 @@ def test_concurrent_commit_loser_cannot_clobber(spark, tmp_path, monkeypatch):
     assert all("data" in d for d in removed)
 
 
+def test_selective_compaction_and_maintain(spark, tmp_path):
+    """Per-bucket compaction folds only the selected buckets' deltas; cold
+    buckets stay byte-untouched; maintain() picks buckets over threshold."""
+    tbl = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=4).create(PAYLOAD)
+    convs = [f"conv_{i:06d}" for i in range(200)]
+    tbl.merge(_insert_batch(spark, convs, 0), 0, (0, 199))
+    # pile deltas onto ONE key's bucket
+    hot = "conv_000001"
+    for i in range(5):
+        tbl.merge(
+            _events(spark, [(1000 + i, "U", hot, 0, f"v{i}")]),
+            1 + i,
+            (1000 + i, 1000 + i),
+            mode="delta",
+        )
+    snap = tbl.snapshot()
+    hot_b = [b for b, fs in snap.deltas.items() if fs]
+    assert len(hot_b) == 1
+    cold_files = {
+        p
+        for b, fs in snap.buckets.items()
+        if b not in hot_b
+        for p in fs
+    }
+    state_before = sorted(
+        (r["conv_id"], r["text"]) for r in tbl.read().collect()
+    )
+    v = tbl.maintain(max_delta_files=4)
+    assert v > snap.version
+    snap2 = tbl.snapshot()
+    assert not snap2.deltas.get(hot_b[0])
+    # cold buckets byte-untouched
+    for b, fs in snap2.buckets.items():
+        if b not in hot_b:
+            assert set(fs) <= cold_files
+    assert (
+        sorted((r["conv_id"], r["text"]) for r in tbl.read().collect())
+        == state_before
+    )
+    # nothing due anymore -> no-op
+    assert tbl.maintain(max_delta_files=4) == v
+
+
 def test_full_delta_replay_matches_cow_replay(spark, tmp_path):
     """The two merge paths are semantically interchangeable: replaying the
     same chunked log all-delta vs all-CoW converges to identical state."""

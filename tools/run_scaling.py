@@ -33,6 +33,38 @@ import sys
 import time
 
 
+def _burn(n: int) -> float:
+    import numpy as np
+
+    a = np.random.default_rng(0).random((256, 256))
+    t0 = time.perf_counter()
+    for _ in range(n):
+        a = a @ a
+        a /= np.abs(a).max() + 1.0
+    return time.perf_counter() - t0
+
+
+def host_probe(n_procs: int = 8, reps: int = 60) -> float:
+    """Aggregate host compute capacity RIGHT NOW (matmuls/sec across
+    n_procs processes, fixed work so runtime is bounded even when
+    throttled). The hypervisor caps this VM's total throughput under
+    sustained load — measured 4x collapses mid-record — and a throttled
+    round measures the cap, not the engine's scaling. Probing
+    independently BEFORE each round lets the record keep every sample and
+    still report efficiency over rounds where the host was actually
+    delivering its capacity. ~1-4s per probe."""
+    import multiprocessing as mp
+
+    with mp.get_context("spawn").Pool(n_procs) as pool:
+        pool.map(_burn, [2] * n_procs)  # spawn + import warm-up, untimed
+        best = 0.0
+        for _ in range(3):  # best-of-3 damps probe-side noise
+            t0 = time.perf_counter()
+            pool.map(_burn, [reps] * n_procs)
+            best = max(best, n_procs * reps / (time.perf_counter() - t0))
+        return best
+
+
 def one_run(cores: int, events: int, chunks: int, tmpfs: bool) -> dict:
     cmd = [
         sys.executable,
@@ -67,9 +99,14 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=2)
     ap.add_argument("--no-tmpfs", dest="tmpfs", action="store_false")
     # the hypervisor throttles under sustained load (every record's FIRST
-    # pair measures best); a cooldown between rounds keeps the host budget
-    # comparable across pairs
-    ap.add_argument("--cooldown", type=int, default=0)
+    # pair measures best); a cooldown between rounds lets the host budget
+    # recover so more rounds land in the healthy window
+    ap.add_argument("--cooldown", type=int, default=120)
+    # rounds whose pre-round host probe is below this fraction of the
+    # record's best probe are kept in the raw record but excluded from the
+    # healthy-window efficiency (a capped host flattens BOTH levels to the
+    # same ceiling — those rounds measure the hypervisor, not the engine)
+    ap.add_argument("--healthy-frac", type=float, default=0.7)
     args = ap.parse_args()
     pair = (args.n, 4 * args.n)
 
@@ -89,7 +126,10 @@ def main() -> None:
     rates: dict[int, list[float]] = {pair[0]: [], pair[1]: []}
     secs: dict[int, list[float]] = {pair[0]: [], pair[1]: []}
     pair_effs: list[float] = []
+    probes: list[list[float]] = []  # [before, after] per round
     for r in range(args.rounds):
+        p_before = round(host_probe(), 1)
+        print(f"round {r} host_probe(before)={p_before:.0f} matmul/s", flush=True)
         order = (pair[1], pair[0]) if r % 2 == 0 else (pair[0], pair[1])
         round_rate = {}
         for cores in order:
@@ -102,11 +142,23 @@ def main() -> None:
                 f"{res['events_per_sec']:.0f} ev/s",
                 flush=True,
             )
+        p_after = round(host_probe(), 1)
+        print(f"round {r} host_probe(after)={p_after:.0f} matmul/s", flush=True)
+        probes.append([p_before, p_after])
         pair_effs.append((round_rate[pair[1]] / round_rate[pair[0]]) / 4)
         if args.cooldown and r < args.rounds - 1:
             time.sleep(args.cooldown)
 
     lo, hi = pair
+    best_probe = max(max(p) for p in probes)
+    # healthy = the host delivered capacity through the WHOLE round
+    # (throttling can set in mid-round, so both endpoints must pass)
+    healthy = [
+        i
+        for i in range(args.rounds)
+        if min(probes[i]) >= args.healthy_frac * best_probe
+    ]
+    healthy_effs = [pair_effs[i] for i in healthy]
     summary = {
         "events": args.events,
         "chunks": args.chunks,
@@ -118,9 +170,16 @@ def main() -> None:
         "efficiency_median_of_pairs": round(statistics.median(pair_effs), 3),
         "efficiency_best_pair": round(max(pair_effs), 3),
         "pair_efficiencies": [round(e, 3) for e in pair_effs],
+        "host_probes": probes,
+        "healthy_frac": args.healthy_frac,
+        "healthy_rounds": healthy,
+        "efficiency_median_healthy": (
+            round(statistics.median(healthy_effs), 3) if healthy_effs else None
+        ),
         "all_rates": {k: [round(x, 1) for x in v] for k, v in rates.items()},
         "all_seconds": secs,
         "affinity_pinned": True,
+        "cooldown": args.cooldown,
         "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
     print(json.dumps(summary))
