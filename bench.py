@@ -120,14 +120,26 @@ def main() -> None:
 
     # untimed JIT warm-up (a fresh JVM's first replays run ~4x slow while
     # C2 compiles the merge path; steady-state is what 10^10-event replay
-    # would see), then best-of-2 to damp sandbox host-throughput drift
+    # would see), then best-of-N to damp sandbox host-throughput drift:
+    # 2 runs normally, a 3rd when the first two disagree >1.3x (the
+    # hypervisor throttles this VM several-fold for minutes at a time)
     run_cdc_bench(spark, max(1_000_000, n_events // 10), 2)
-    cdc = min(
-        (run_cdc_bench(spark, n_events) for _ in range(2)),
-        key=lambda r: r["seconds"],
-    )
+    runs = [run_cdc_bench(spark, n_events) for _ in range(2)]
+    times = sorted(r["seconds"] for r in runs)
+    if times[-1] > 1.3 * times[0]:
+        runs.append(run_cdc_bench(spark, n_events))
+    cdc = min(runs, key=lambda r: r["seconds"])
     total += cdc["seconds"]
     per_query["cdc_replay"] = cdc["seconds"]
+
+    # host-capacity probe recorded alongside: a low value flags that this
+    # bench landed in a hypervisor-throttled window (see BENCH/BASELINE.md)
+    try:
+        from tools.run_scaling import host_probe
+
+        host = round(host_probe(), 1)
+    except Exception:
+        host = None
 
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
     print(
@@ -140,6 +152,8 @@ def main() -> None:
                 "sf": sf,
                 "cdc_replay": cdc,
                 "cores": cores,
+                "host_probe_matmul_per_sec": host,
+                "cdc_runs_sec": [r["seconds"] for r in runs],
             }
         )
     )

@@ -352,11 +352,17 @@ class SnapshotTable:
     _bucket_col = bucket_expr
 
     def _route_expr(self) -> F.Column:
-        rm = route_map(self.n_buckets)
-        pairs = []
-        for b in range(self.n_buckets):
-            pairs += [F.lit(b), F.lit(rm[b])]
-        return F.element_at(F.create_map(*pairs), F.col("_b"))
+        # cached per instance: building the 2n-literal map costs ~100ms of
+        # py4j round-trips, which would land on every batch's serial path
+        cached = getattr(self, "_route_col", None)
+        if cached is None:
+            rm = route_map(self.n_buckets)
+            pairs = []
+            for b in range(self.n_buckets):
+                pairs += [F.lit(b), F.lit(rm[b])]
+            cached = F.element_at(F.create_map(*pairs), F.col("_b"))
+            self._route_col = cached
+        return cached
 
     def _write_bucketed(self, df: DataFrame, data_dir: str) -> dict[int, list[str]]:
         """Flat parquet write where shuffle partition b == bucket b (via the
@@ -381,13 +387,17 @@ class SnapshotTable:
     @staticmethod
     def _collect_file_stats(paths: list[str]) -> dict[str, dict]:
         """Per-file (min_key, max_key, rows) from parquet footers —
-        driver-side milliseconds, the stats an Iceberg writer would put in
-        the manifest. Parquet string stats may be truncated-but-safe
-        (min is a ≤-prefix, max is padded up), which pruning tolerates."""
+        driver-side, the stats an Iceberg writer would put in the
+        manifest. Footer reads are I/O-bound and independent, so they run
+        in a thread pool: this sits on the per-batch SERIAL path, and
+        serial driver time is what caps scaling efficiency (Amdahl).
+        Parquet string stats may be truncated-but-safe (min is a ≤-prefix,
+        max is padded up), which pruning tolerates."""
+        from concurrent.futures import ThreadPoolExecutor
+
         import pyarrow.parquet as pq
 
-        out: dict[str, dict] = {}
-        for p in paths:
+        def one(p: str) -> tuple[str, dict]:
             md = pq.ParquetFile(p).metadata
             idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
             lo = hi = None
@@ -401,13 +411,17 @@ class SnapshotTable:
                     mn = st.min.decode() if isinstance(st.min, bytes) else st.min
                     mx = st.max.decode() if isinstance(st.max, bytes) else st.max
                     lo = mn if lo is None else min(lo, mn)
-                    hi = mx if hi is None else max(hi, mx)
-            out[p] = {
+                    hi = hi if hi is not None and hi >= mx else mx
+            return p, {
                 "min_key": lo if ok else None,
                 "max_key": hi if ok else None,
                 "rows": md.num_rows,
             }
-        return out
+
+        if not paths:
+            return {}
+        with ThreadPoolExecutor(min(16, len(paths))) as ex:
+            return dict(ex.map(one, paths))
 
     # -------------------------------------------------------------- merge
     def merge(
@@ -557,9 +571,12 @@ class SnapshotTable:
                 current.select(*upd.columns).unionByName(upd), payload_cols
             )
 
+        timing = os.environ.get("SPARK_GRAFT_MERGE_TIMING")
+        t_plan = time.time()
         new_version = snap.version + 1
         data_dir = self._new_data_dir(new_version)
         by_bucket = self._write_bucketed(winner, data_dir)
+        t_write = time.time()
 
         new_buckets = dict(snap.buckets)
         new_deltas = {k: list(v) for k, v in snap.deltas.items()}
@@ -582,6 +599,16 @@ class SnapshotTable:
             p: s for p, s in snap.file_stats.items() if p in referenced
         }
         file_stats.update(self._collect_file_stats(new_paths))
+        if timing:
+            import sys
+
+            print(
+                f"[merge-timing] b{batch_id} plan={t_plan - t0:.2f}s "
+                f"write={t_write - t_plan:.2f}s "
+                f"stats={time.time() - t_write:.2f}s",
+                file=sys.stderr,
+                flush=True,
+            )
 
         # ---- lineage + ledger -------------------------------------------
         t1 = time.time()

@@ -72,6 +72,41 @@ def test_read_excel_or_clean_gate(spark, tmp_path):
     assert got == [("1", "1.5"), ("2", None)]
 
 
+# ---------------------------------------------------------- http_server
+def test_webhook_spool_feeds_file_source(spark, tmp_path):
+    """Push ingestion -> spool dir -> Spark reads it like any log segment
+    (the http_server source mapped onto the pull-based file stream)."""
+    import json
+    import urllib.request
+
+    from caterpillar_spark.sources.http_server import WebhookSpool
+
+    spool = WebhookSpool(str(tmp_path / "spool")).start()
+    try:
+        host, port = spool.address
+        for i in range(3):
+            body = json.dumps({"id": i, "v": f"rec{i}"}).encode()
+            req = urllib.request.Request(
+                f"http://{host}:{port}/ingest", data=body, method="POST"
+            )
+            with urllib.request.urlopen(req, timeout=10) as resp:
+                assert resp.status == 202
+        assert spool.received == 3
+    finally:
+        spool.stop()
+    # no partials on disk, arrival-ordered names
+    import os
+
+    names = sorted(os.listdir(str(tmp_path / "spool")))
+    assert len(names) == 3 and not any(n.endswith(".tmp") for n in names)
+    df = spark.read.json(str(tmp_path / "spool"))
+    assert sorted((r["id"], r["v"]) for r in df.collect()) == [
+        (0, "rec0"),
+        (1, "rec1"),
+        (2, "rec2"),
+    ]
+
+
 # ---------------------------------------------------------------- queue
 def test_queue_at_least_once_and_competing_consumers():
     q = InMemoryQueue()

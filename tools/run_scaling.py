@@ -126,21 +126,30 @@ def main() -> None:
     rates: dict[int, list[float]] = {pair[0]: [], pair[1]: []}
     secs: dict[int, list[float]] = {pair[0]: [], pair[1]: []}
     pair_effs: list[float] = []
+    ceiling_effs: list[float] = []  # platform scan efficiency per round
     probes: list[list[float]] = []  # [before, after] per round
     for r in range(args.rounds):
         p_before = round(host_probe(), 1)
         print(f"round {r} host_probe(before)={p_before:.0f} matmul/s", flush=True)
         order = (pair[1], pair[0]) if r % 2 == 0 else (pair[0], pair[1])
         round_rate = {}
+        round_ceiling = {}
         for cores in order:
             res = one_run(cores, args.events, args.chunks, args.tmpfs)
             rates[cores].append(res["events_per_sec"])
             secs[cores].append(res["seconds"])
             round_rate[cores] = res["events_per_sec"]
+            round_ceiling[cores] = res.get("ceiling_scan_sec")
             print(
                 f"round {r} cpus={cores}: {res['seconds']}s "
-                f"{res['events_per_sec']:.0f} ev/s",
+                f"{res['events_per_sec']:.0f} ev/s "
+                f"ceiling_scan={res.get('ceiling_scan_sec')}s "
+                f"ceiling_agg={res.get('ceiling_agg_sec')}s",
                 flush=True,
+            )
+        if all(round_ceiling.get(c) for c in pair):
+            ceiling_effs.append(
+                (round_ceiling[pair[0]] / round_ceiling[pair[1]]) / 4
             )
         p_after = round(host_probe(), 1)
         print(f"round {r} host_probe(after)={p_after:.0f} matmul/s", flush=True)
@@ -175,6 +184,23 @@ def main() -> None:
         "healthy_rounds": healthy,
         "efficiency_median_healthy": (
             round(statistics.median(healthy_effs), 3) if healthy_effs else None
+        ),
+        # platform scan ceiling measured per round in the same pinned JVMs
+        # on the same input: the box's own 2v8 efficiency for scan-shaped
+        # work bounds anything a scan-dominated job can achieve
+        "ceiling_scan_efficiencies": [round(e, 3) for e in ceiling_effs],
+        "ceiling_scan_median": (
+            round(statistics.median(ceiling_effs), 3) if ceiling_effs else None
+        ),
+        "efficiency_vs_ceiling_median": (
+            round(
+                statistics.median(
+                    [e / c for e, c in zip(pair_effs, ceiling_effs)]
+                ),
+                3,
+            )
+            if ceiling_effs
+            else None
         ),
         "all_rates": {k: [round(x, 1) for x in v] for k, v in rates.items()},
         "all_seconds": secs,

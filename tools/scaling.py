@@ -75,10 +75,37 @@ def main() -> None:
     warm_events = max(1_000_000, args.events // 5)
     for _ in range(2):
         bench.run_cdc_bench(spark, warm_events, 2)
+
+    # platform ceiling, same JVM/pinning/input: what does RAW pyspark give
+    # this core count for scan-shaped and LWW-agg-shaped work? The engine's
+    # replay is scan-dominated, so its cross-level efficiency can never
+    # beat the box's own scan efficiency — recording both per run lets the
+    # record separate engine-attributable loss from platform loss.
+    import time
+
+    from pyspark.sql import functions as F
+
+    chunk_paths = bench.cdc_events_dir(spark, args.events, args.chunks)
+    base = chunk_paths[0].rsplit("/", 1)[0]
+    df = spark.read.parquet(f"{base}/chunk-*")
+    df.count()  # warm
+    t_scan = t_agg = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        df.select(F.sum(F.length("text")), F.max("lsn")).collect()
+        t_scan = min(t_scan, time.time() - t0)
+        t0 = time.time()
+        df.groupBy("conv_id", "turn_idx").agg(
+            F.max_by("text", F.col("lsn")), F.max("lsn")
+        ).select(F.count("*")).collect()
+        t_agg = min(t_agg, time.time() - t0)
+
     for i in range(args.runs):
         res = run_cdc_bench(spark, args.events, args.chunks)
         res["cores"] = args.cores
         res["run"] = i
+        res["ceiling_scan_sec"] = round(t_scan, 2)
+        res["ceiling_agg_sec"] = round(t_agg, 2)
         print(json.dumps(res), flush=True)
 
 
