@@ -80,6 +80,98 @@ HTML_RECORD_SCHEMA = T.StructType(
 )
 
 
+class _TreeParser(HTMLParser):
+    """Build the reference converter's recursive node shape:
+    ``{tag, attributes, text, children}`` (``task/converter/html.go:24-87``:
+    direct text only, children as element nodes, attributes as a map).
+    Deliberate divergence: sibling text segments join with a single space
+    (the reference concatenates trimmed segments bare — "y"+"z"="yz",
+    which corrupts word boundaries for the text-analysis operators
+    downstream)."""
+
+    VOID = {"br", "img", "hr", "meta", "link", "input", "area", "base", "col",
+            "embed", "source", "track", "wbr"}
+
+    def __init__(self):
+        super().__init__()
+        self.root = {"tag": "", "attributes": {}, "text": "", "children": []}
+        self._stack = [self.root]
+
+    def handle_starttag(self, tag, attrs):
+        node = {
+            "tag": tag,
+            "attributes": {k: (v or "") for k, v in attrs},
+            "text": "",
+            "children": [],
+        }
+        self._stack[-1]["children"].append(node)
+        if tag not in self.VOID:
+            self._stack.append(node)
+
+    def handle_endtag(self, tag):
+        for i in range(len(self._stack) - 1, 0, -1):
+            if self._stack[i]["tag"] == tag:
+                del self._stack[i:]
+                break
+
+    def handle_data(self, data):
+        d = data.strip()
+        if d:
+            cur = self._stack[-1]
+            cur["text"] = (cur["text"] + " " + d).strip() if cur["text"] else d
+
+
+def html_dom_tree(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    container: str | None = None,
+) -> DataFrame:
+    """Reference-shape html conversion: each document becomes one JSON
+    string of the recursive ``{tag, attributes, text, children}`` tree
+    (``converter: html``). ``container`` selects subtrees by tag name (the
+    reference's XPath ``container``, tag-match form) and emits one record
+    per match with its ``node_index``."""
+    import json
+
+    import pandas as pd
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("node_index", T.IntegerType()),
+            T.StructField("tree", T.StringType()),
+        ]
+    )
+
+    def trees(doc: str) -> list[str]:
+        p = _TreeParser()
+        p.feed(doc or "")
+        if container is None:
+            kids = p.root["children"]
+            return [json.dumps(kids[0] if len(kids) == 1 else p.root["children"])]
+        out = []
+
+        def walk(n):
+            if n["tag"] == container:
+                out.append(json.dumps(n))
+            for c in n["children"]:
+                walk(c)
+
+        walk(p.root)
+        return out
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for did, doc in zip(pdf[id_col], pdf[html_col]):
+                for i, t in enumerate(trees(doc)):
+                    rows.append({"doc_id": did, "node_index": i, "tree": t})
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return df.mapInPandas(kernel, schema=schema)
+
+
 def html_table_records(
     df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
 ) -> DataFrame:

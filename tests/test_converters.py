@@ -48,6 +48,26 @@ def test_html_table_records(spark):
     ]
 
 
+def test_html_dom_tree_reference_shape(spark):
+    """converter:html parity: recursive {tag, attributes, text, children}
+    nodes, container selection with node_index."""
+    import json
+
+    from caterpillar_spark.sources.html import html_dom_tree
+
+    doc = '<div id="a">hi<span>x</span></div><div id="b">y<br>z</div>'
+    df = spark.createDataFrame([(1, doc)], ["doc_id", "html"])
+    rows = html_dom_tree(df, container="div").collect()
+    assert [r["node_index"] for r in rows] == [0, 1]
+    t0 = json.loads(rows[0]["tree"])
+    assert t0["tag"] == "div" and t0["attributes"] == {"id": "a"}
+    assert t0["text"] == "hi"
+    assert [c["tag"] for c in t0["children"]] == ["span"]
+    t1 = json.loads(rows[1]["tree"])
+    assert t1["text"] == "y z"  # void tag <br> must not swallow siblings
+    assert [c["tag"] for c in t1["children"]] == ["br"]
+
+
 def test_eml_parse(spark):
     from caterpillar_spark.sources.eml import parse_eml
 
