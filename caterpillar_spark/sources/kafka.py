@@ -25,6 +25,33 @@ from pyspark.sql import types as T
 from caterpillar_spark.streaming.apply import CHANGE_EVENT_SCHEMA
 
 
+def parse_changelog_json(
+    raw: DataFrame, schema: T.StructType = CHANGE_EVENT_SCHEMA
+) -> DataFrame:
+    """Kafka-shaped bytes -> change events: ``value`` (binary/string JSON)
+    parsed against the pinned schema, broker partition id backfilling
+    ``source_partition`` lineage when the payload lacks its own.
+
+    Broker-independent (works on any DataFrame with value/partition
+    columns), which is what makes the parse layer unit-testable in a
+    broker-less sandbox; malformed JSON yields null fields that the
+    quarantine operator downstream classifies rather than poisoning the
+    run (the reference's fail_on_error trap, ``pipeline.go:240-250``)."""
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("e"),
+        F.col("partition").alias("_kafka_partition"),
+    ).select("e.*", "_kafka_partition")
+    if "source_partition" in [f.name for f in schema.fields]:
+        parsed = parsed.withColumn(
+            "source_partition",
+            F.coalesce(
+                F.col("source_partition"),
+                F.col("_kafka_partition").cast("int"),
+            ),
+        )
+    return parsed.drop("_kafka_partition")
+
+
 def stream_kafka_changelog(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -49,14 +76,4 @@ def stream_kafka_changelog(
     )
     if max_offsets_per_trigger:
         reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
-    raw = reader.load()
-    parsed = raw.select(
-        F.from_json(F.col("value").cast("string"), schema).alias("e"),
-        F.col("partition").alias("_kafka_partition"),
-    ).select("e.*", "_kafka_partition")
-    if "source_partition" in [f.name for f in schema.fields]:
-        parsed = parsed.withColumn(
-            "source_partition",
-            F.coalesce(F.col("source_partition"), F.col("_kafka_partition")),
-        )
-    return parsed.drop("_kafka_partition")
+    return parse_changelog_json(reader.load(), schema)

@@ -68,6 +68,8 @@ def apply_stream(
     checkpoint_dir: str,
     stream_id: str = "stream",
     available_now: bool = True,
+    mode: str = "auto",
+    maintain_every: int | None = None,
 ) -> StreamingQuery:
     """Run the stream into the table via foreachBatch (MERGE is a batch op;
     this is the idiomatic Iceberg pattern too, SURVEY.md §7.5).
@@ -76,10 +78,24 @@ def apply_stream(
     (data + offsets + lineage) snapshot commit. If Spark re-delivers a batch
     after a crash (checkpoint wrote the WAL but the sink already committed),
     the ledger skips it — that's the exactly-once half the checkpoint alone
-    can't give."""
+    can't give.
+
+    ``mode`` forwards to the merge (``auto`` lets small micro-batches take
+    the merge-on-read delta path — write volume O(batch)); with
+    ``maintain_every=k`` the sink runs incremental compaction
+    (``table.maintain()``) after every k-th applied batch, bounding the
+    read-side delta backlog — the streaming deployment's maintenance loop."""
+
+    applied = {"n": 0}
 
     def handle(batch: DataFrame, batch_id: int) -> None:
-        apply_changes(batch, table, batch_id=int(batch_id), stream_id=stream_id)
+        res = apply_changes(
+            batch, table, batch_id=int(batch_id), stream_id=stream_id, mode=mode
+        )
+        if res.snapshot_version > 0 and maintain_every:
+            applied["n"] += 1
+            if applied["n"] % maintain_every == 0:
+                table.maintain()
 
     writer = (
         stream.writeStream.foreachBatch(handle)

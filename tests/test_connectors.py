@@ -107,6 +107,40 @@ def test_webhook_spool_feeds_file_source(spark, tmp_path):
     ]
 
 
+# ------------------------------------------------------------ kafka parse
+def test_kafka_parse_layer_without_broker(spark):
+    """The kafka source's parse layer on kafka-SHAPED data: JSON values
+    against the pinned schema, broker partition backfills lineage,
+    malformed JSON nulls out (quarantine's job, not a crash)."""
+    import json
+
+    from caterpillar_spark.sources.kafka import parse_changelog_json
+
+    rows = [
+        (
+            json.dumps(
+                {"lsn": 1, "op": "I", "conv_id": "c0", "turn_idx": 0,
+                 "role": "user", "text": "hi", "source_partition": 7}
+            ).encode(),
+            0,
+        ),
+        (
+            json.dumps(
+                {"lsn": 2, "op": "U", "conv_id": "c0", "turn_idx": 0,
+                 "role": "user", "text": "hi2"}
+            ).encode(),
+            3,
+        ),
+        (b"not json at all", 1),
+    ]
+    raw = spark.createDataFrame(rows, "value binary, partition int")
+    got = {r["lsn"]: r for r in parse_changelog_json(raw).collect()}
+    assert got[1]["source_partition"] == 7  # payload wins
+    assert got[2]["source_partition"] == 3  # broker partition backfills
+    assert got[2]["text"] == "hi2"
+    assert None in got and got[None]["op"] is None  # malformed -> nulls
+
+
 # ---------------------------------------------------------------- queue
 def test_queue_at_least_once_and_competing_consumers():
     q = InMemoryQueue()

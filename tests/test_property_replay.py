@@ -60,7 +60,14 @@ def change_stream(draw):
             )
         )
     n_chunks = draw(st.integers(min_value=1, max_value=3))
-    return events, n_chunks
+    # arbitrary merge path per chunk: CoW (file-pruned rewrite),
+    # merge-on-read delta append, or the auto heuristic — any interleaving
+    # must converge to the same state (they share the LWW reducer)
+    modes = [
+        draw(st.sampled_from(["auto", "cow", "delta"])) for _ in range(n_chunks)
+    ]
+    compact_at_end = draw(st.booleans())
+    return events, n_chunks, modes, compact_at_end
 
 
 def _expected(events):
@@ -82,7 +89,7 @@ def _expected(events):
 )
 @given(change_stream())
 def test_any_stream_reduces_correctly(spark, tmp_path_factory, stream):
-    events, n_chunks = stream
+    events, n_chunks, modes, compact_at_end = stream
     tmp = tmp_path_factory.mktemp("prop")
     tbl = SnapshotTable(spark, str(tmp / "t"), n_buckets=4).create(PAYLOAD)
     sz = (len(events) + n_chunks - 1) // n_chunks
@@ -91,20 +98,35 @@ def test_any_stream_reduces_correctly(spark, tmp_path_factory, stream):
         if not chunk:
             continue
         df = spark.createDataFrame(chunk, EVENT_SCHEMA)
-        apply_changes(df, tbl, batch_id=i)
+        apply_changes(df, tbl, batch_id=i, mode=modes[i])
     got = sorted(
         (r["conv_id"], r["turn_idx"], r["text"])
         for r in tbl.read().collect()
     )
     assert got == _expected(events)
-    # idempotence: re-apply every chunk; state unchanged
+    # idempotence: re-apply every chunk (different mode draw is fine — a
+    # covered range must no-op regardless of path); state unchanged
     for i in range(n_chunks):
         chunk = events[i * sz : (i + 1) * sz]
         if not chunk:
             continue
-        apply_changes(spark.createDataFrame(chunk, EVENT_SCHEMA), tbl, batch_id=i)
+        apply_changes(
+            spark.createDataFrame(chunk, EVENT_SCHEMA),
+            tbl,
+            batch_id=i,
+            mode=modes[n_chunks - 1 - i],
+        )
     again = sorted(
         (r["conv_id"], r["turn_idx"], r["text"])
         for r in tbl.read().collect()
     )
     assert again == got
+    if compact_at_end:
+        tbl.compact()
+        assert (
+            sorted(
+                (r["conv_id"], r["turn_idx"], r["text"])
+                for r in tbl.read().collect()
+            )
+            == got
+        )

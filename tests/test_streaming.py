@@ -59,6 +59,30 @@ def test_stream_available_now_full_replay(spark, tmp_path):
     assert tbl.current_version() >= 3
 
 
+def test_stream_delta_mode_with_maintenance(spark, tmp_path):
+    """Merge-on-read micro-batches + periodic incremental compaction:
+    state converges to the batch oracle and the delta backlog is bounded
+    by the maintenance loop."""
+    chunks_dir = str(tmp_path / "log")
+    write_changelog_chunks(spark, SPEC, chunks_dir, n_chunks=6)
+    tbl = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=8).create(PAYLOAD)
+    q = apply_stream(
+        stream_changelog(spark, chunks_dir, max_files_per_trigger=1),
+        tbl,
+        str(tmp_path / "ckpt"),
+        mode="delta",
+        maintain_every=2,
+    )
+    q.awaitTermination(300)
+    assert _canon(tbl.read()) == _expected(spark)
+    snap = tbl.snapshot()
+    # deltas exist only for buckets the maintenance loop hasn't reached
+    # since their last append; the backlog never exceeds the threshold
+    assert all(len(fs) < 4 for fs in snap.deltas.values())
+    tbl.compact()
+    assert _canon(tbl.read()) == _expected(spark)
+
+
 def test_stream_resume_from_checkpoint(spark, tmp_path):
     """Stop after the first tranche of files, add more, restart with the
     SAME checkpoint: already-processed files are not re-read; new ones
