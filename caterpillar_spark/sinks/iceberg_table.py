@@ -36,9 +36,16 @@ LINEAGE_PROP = "caterpillar.lineage"
 class IcebergTable:
     """Same merge/read/applied_ranges surface as SnapshotTable.
 
-    The Iceberg table must carry an ``lsn BIGINT`` column alongside the
-    payload (it is the LWW version guard — the analogue of SnapshotTable's
-    stored ``_lsn``); ``read()`` exposes it so replays are auditable."""
+    The Iceberg table must carry ``lsn BIGINT`` and ``_deleted BOOLEAN``
+    columns alongside the payload — the analogues of SnapshotTable's
+    stored ``_lsn``/``_deleted``. Deletes are TOMBSTONES here too, not
+    physical deletes: a physically-deleted row has no ``t.lsn`` left to
+    guard with, so a partially-overlapping re-delivered batch (ledger
+    range not fully covered => re-applied) would resurrect it through the
+    NOT MATCHED INSERT arm. ``read()`` filters tombstones; a periodic
+    ``DELETE FROM t WHERE _deleted`` compaction purges them once replay
+    protection no longer needs them (same lifecycle as
+    SnapshotTable.compact)."""
 
     def __init__(self, spark: SparkSession, identifier: str):
         self.spark = spark
@@ -51,8 +58,9 @@ class IcebergTable:
             )
 
     # ------------------------------------------------------------- reads
-    def read(self) -> DataFrame:
-        return self.spark.table(self.identifier)
+    def read(self, include_deleted: bool = False) -> DataFrame:
+        df = self.spark.table(self.identifier)
+        return df if include_deleted else df.filter("NOT _deleted")
 
     def _latest_summary(self) -> dict:
         rows = (
@@ -76,8 +84,11 @@ class IcebergTable:
         partition_counts: list[tuple[int, int]] | None = None,
         stream_id: str = "default",
         t_start: float | None = None,
-        affected_buckets: list[int] | None = None,
-    ) -> int:
+        incoming_stats: dict | None = None,  # accepted for surface parity;
+        mode: str = "auto",  # Iceberg plans its own file pruning/MoR
+        **_compat,
+    ) -> tuple[int, list[tuple[int, int]] | None]:
+        del incoming_stats, mode  # Iceberg's planner owns pruning/MoR
         lo, hi = offset_range
         # full-summary read, not just this stream: a commit rewriting the
         # ledger with ONLY the current stream would erase other streams'
@@ -87,7 +98,7 @@ class IcebergTable:
         applied: dict = json.loads(raw) if raw else {}
         prior = applied.get(stream_id, [])
         if _covered(prior, lo, hi):
-            return -1
+            return -1, None
         applied[stream_id] = _merge_ranges(prior + [[lo, hi]])
         lineage = [
             {"batch_id": batch_id, "partition": p, "rows_applied": n,
@@ -104,9 +115,11 @@ class IcebergTable:
         updates.createOrReplaceTempView("_caterpillar_updates")
         # lsn is STORED (t.lsn) and every matched arm carries `u.lsn > t.lsn`
         # so a partially-overlapping re-delivered batch (ledger range not
-        # fully covered) can never overwrite newer rows with older values —
-        # the same LWW-over-stored-lsn semantics as SnapshotTable. Deletes
-        # are lsn-guarded too: a stale delete must not kill a newer row.
+        # fully covered => re-applied) can never overwrite newer rows with
+        # older values — the same LWW-over-stored-lsn semantics as
+        # SnapshotTable. Deletes become TOMBSTONES (never physical), and
+        # the INSERT arm takes every op including unmatched deletes: the
+        # stored (lsn, _deleted) pair is what guards ALL later replays.
         self.spark.sql(
             f"""
             MERGE INTO {self.identifier} t
@@ -118,18 +131,17 @@ class IcebergTable:
               ) WHERE _rn = 1
             ) u
             ON t.conv_id = u.conv_id AND t.turn_idx = u.turn_idx
-            WHEN MATCHED AND u.op = 'D' AND u.lsn > t.lsn THEN DELETE
-            WHEN MATCHED AND u.op <> 'D' AND u.lsn > t.lsn THEN UPDATE SET
+            WHEN MATCHED AND u.lsn > t.lsn THEN UPDATE SET
               t.role = u.role, t.text = u.text, t.tool = u.tool, t.ts = u.ts,
-              t.lsn = u.lsn
-            WHEN NOT MATCHED AND u.op <> 'D' THEN INSERT
-              (conv_id, turn_idx, role, text, tool, ts, lsn)
+              t.lsn = u.lsn, t._deleted = (u.op = 'D')
+            WHEN NOT MATCHED THEN INSERT
+              (conv_id, turn_idx, role, text, tool, ts, lsn, _deleted)
               VALUES (u.conv_id, u.turn_idx, u.role, u.text, u.tool, u.ts,
-                      u.lsn)
+                      u.lsn, u.op = 'D')
             """
         )
         snap = self.spark.sql(
             f"SELECT snapshot_id FROM {self.identifier}.snapshots "
             "ORDER BY committed_at DESC LIMIT 1"
         ).collect()
-        return int(snap[0]["snapshot_id"]) if snap else 0
+        return (int(snap[0]["snapshot_id"]) if snap else 0), partition_counts

@@ -213,7 +213,18 @@ class SnapshotTable:
     def snapshot(self, version: int | None = None) -> Snapshot:
         v = self.current_version() if version is None else version
         with open(self._snap_path(v)) as f:
-            return Snapshot(**json.load(f))
+            snap = Snapshot(**json.load(f))
+        # format gate: format-1 tables shared co-hashed buckets per file
+        # and relied on a read-side _b filter this code no longer applies;
+        # reading one here would silently return stale rows after a merge
+        if snap.buckets and snap.properties.get("format") != 2:
+            raise RuntimeError(
+                f"{self.root} is a format-1 snapshot table (shared-bucket "
+                "files); rewrite it with a format-2 writer (read the old "
+                "data via spark.read.parquet + LWW-reduce, then create() "
+                "+ merge() into a new table) before using this engine"
+            )
+        return snap
 
     def _commit(self, snap: Snapshot) -> None:
         """Atomic create of the next snapshot file (fails on conflict)."""
@@ -535,7 +546,40 @@ class SnapshotTable:
                 .collect()
             }
         if not incoming_stats:
-            return -1, None  # empty batch: nothing to commit
+            # empty batch (e.g. everything quarantined upstream) with a
+            # REAL offset range: commit a data-less snapshot that records
+            # the range, else the ledger keeps a permanent hole and replay-
+            # completeness checks report the stream as unfinished
+            applied = dict(snap.applied)
+            applied[stream_id] = _merge_ranges(prior + [[lo, hi]])
+            empty_version = snap.version + 1
+            self._commit(
+                Snapshot(
+                    version=empty_version,
+                    schema_json=snap.schema_json,
+                    buckets=snap.buckets,
+                    applied=applied,
+                    lineage=[
+                        asdict(
+                            LineageEntry(
+                                batch_id=batch_id,
+                                offset_start=lo,
+                                offset_end=hi,
+                                snapshot_id=empty_version,
+                                rows_applied=0,
+                                partition=-1,
+                                t_start=t0,
+                                t_end=time.time(),
+                            )
+                        )
+                    ],
+                    parent=snap.version,
+                    properties=snap.properties,
+                    deltas=snap.deltas,
+                    file_stats=snap.file_stats,
+                )
+            )
+            return empty_version, [(-1, 0)]
 
         # ---- file-level pruning -----------------------------------------
         candidates: dict[int, list[str]] = {}

@@ -62,6 +62,14 @@ def paginate(
             f"pagination did not terminate within {max_pages} pages "
             "(cyclic next-page context?)"
         )
+    if not pages and schema is None:
+        # zero records + no schema would infer a zero-COLUMN frame that
+        # crashes the first downstream column reference; force the caller
+        # to say what empty looks like
+        raise ValueError(
+            "pagination returned no records and no schema was given; pass "
+            "schema= so an empty result is an empty TYPED DataFrame"
+        )
     raw = spark.createDataFrame(pages, T.StringType()).toDF("value")
     if schema is not None:
         from pyspark.sql import functions as F
@@ -90,16 +98,27 @@ def fetch_distributed(
     )
     names = [f.name for f in schema.fields]
 
+    custom_schema = out_schema is not None
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for url in pdf[url_col]:
                 body = fetch_fn(url)
-                rows.append(
-                    {n: (url if n == "url" else body.get(n)) for n in names}
-                    if isinstance(body, dict)
-                    else {"url": url, "body": body}
-                )
+                if isinstance(body, dict):
+                    rows.append(
+                        {n: (url if n == "url" else body.get(n)) for n in names}
+                    )
+                elif custom_schema:
+                    # a bare value can't be mapped onto caller-named
+                    # columns; dropping it silently would be data loss
+                    raise TypeError(
+                        "fetch_fn returned a non-dict with a custom "
+                        f"out_schema {names}; return a dict keyed by those "
+                        "columns"
+                    )
+                else:
+                    rows.append({"url": url, "body": body})
             yield pd.DataFrame(rows, columns=names)
 
     return df.mapInPandas(kernel, schema=schema)

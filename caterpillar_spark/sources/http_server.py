@@ -32,6 +32,7 @@ class WebhookSpool:
         os.makedirs(spool_dir, exist_ok=True)
         self._seq = itertools.count()
         self._received = 0
+        self._lock = threading.Lock()  # handlers run on server threads
         spool = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -44,7 +45,8 @@ class WebhookSpool:
                 with open(tmp, "wb") as f:
                     f.write(body if body.endswith(b"\n") else body + b"\n")
                 os.rename(tmp, final)  # atomic: readers never see partials
-                spool._received += 1
+                with spool._lock:
+                    spool._received += 1
                 self.send_response(202)
                 self.end_headers()
                 self.wfile.write(b"accepted")

@@ -60,14 +60,19 @@ class InMemoryQueue:
 
     def receive(
         self, max_messages: int = 10, visibility_timeout: float = 30.0
-    ) -> list[tuple[int, object]]:
+    ) -> list[tuple[tuple[int, int], object]]:
         """Up to ``max_messages`` currently-visible messages as
         ``(receipt, body)``; each becomes invisible for the timeout.
         Competing consumers calling concurrently receive DISJOINT sets —
-        that is the SQS contract this double exists to model."""
+        that is the SQS contract this double exists to model. The receipt
+        is PER DELIVERY (``(msg_id, delivery_n)``, like SQS receipt
+        handles): once the visibility timeout lapses and another consumer
+        receives the message, the earlier receipt is stale and its late
+        ack is rejected — a slow consumer cannot delete a message someone
+        else is processing."""
         self._now += 1.0
         now = self.clock()
-        out: list[tuple[int, object]] = []
+        out: list[tuple[tuple[int, int], object]] = []
         requeue: list[tuple[float, int, _Msg]] = []
         while self._heap and len(out) < max_messages:
             visible_at, mid, msg = heapq.heappop(self._heap)
@@ -78,19 +83,25 @@ class InMemoryQueue:
             msg.visible_at = now + visibility_timeout
             self._inflight[mid] = msg
             heapq.heappush(self._heap, (msg.visible_at, mid, msg))
-            out.append((mid, msg.body))
+            out.append(((mid, msg.deliveries), msg.body))
         for item in requeue:
             heapq.heappush(self._heap, item)
         return out
 
-    def ack(self, receipt: int) -> bool:
+    def ack(self, receipt: tuple[int, int]) -> bool:
         """Delete after processing (sqs.go DeleteMessage): idempotent;
-        returns False if the receipt is unknown or already acked."""
-        msg = self._inflight.pop(receipt, None)
-        if msg is None:
+        returns False for an unknown, already-acked, or STALE receipt
+        (the message was redelivered since this receipt was issued)."""
+        try:
+            mid, delivery = receipt
+        except (TypeError, ValueError):
             return False
+        msg = self._inflight.get(mid)
+        if msg is None or msg.deliveries != delivery:
+            return False
+        del self._inflight[mid]
         # lazily dropped from the heap on next pop
-        self._heap = [(v, m, x) for v, m, x in self._heap if m != receipt]
+        self._heap = [(v, m, x) for v, m, x in self._heap if m != mid]
         heapq.heapify(self._heap)
         return True
 

@@ -38,13 +38,17 @@ def read_excel(
     (``xlsx.go:86-104``) — numeric coercion surprises are the top Excel
     ingestion bug, so string-first is the safe contract.
     """
+    # probe the RIGHT engine for the format BEFORE the file open (pandas
+    # checks the path first, which would mask the missing engine): .xls is
+    # the legacy BIFF format and needs xlrd, everything else openpyxl
+    engine = "xlrd" if str(path).lower().endswith(".xls") else "openpyxl"
     try:
-        import openpyxl  # noqa: F401  (probe BEFORE the file open: pandas
-        # checks the path first, which would mask the missing engine)
+        __import__(engine)
     except ImportError as e:
         raise RuntimeError(
-            "read_excel needs a pandas Excel engine (pip install openpyxl "
-            "on the driver); this runtime does not ship one"
+            f"read_excel needs the pandas Excel engine '{engine}' for "
+            f"{path!r} (pip install {engine} on the driver); this runtime "
+            "does not ship one"
         ) from e
     import pandas as pd
 

@@ -161,7 +161,22 @@ def test_queue_at_least_once_and_competing_consumers():
     for receipt, _ in redelivered:
         q.ack(receipt)
     assert q.pending() == 0
-    assert not q.ack(999)  # unknown receipt is a no-op
+    assert not q.ack((999, 1))  # unknown receipt is a no-op
+
+
+def test_queue_stale_receipt_rejected():
+    """A slow (not crashed) consumer's late ack must not delete a message
+    another consumer is currently processing (per-delivery receipts, like
+    SQS receipt handles)."""
+    q = InMemoryQueue()
+    q.send({"n": 0})
+    (r_a, _), = q.receive(max_messages=1, visibility_timeout=1)
+    # timeout lapses; consumer B receives the redelivery
+    (r_b, _), = q.receive(max_messages=1, visibility_timeout=100)
+    assert not q.ack(r_a)  # stale: rejected
+    assert q.pending() == 1  # B's message untouched
+    assert q.ack(r_b)
+    assert q.pending() == 0
 
 
 def test_queue_redelivery_is_exactly_once_through_ledger(spark, tmp_path):

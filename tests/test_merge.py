@@ -138,6 +138,29 @@ def test_compact_preserves_state_and_drops_tombstones(spark, tmp_path):
     assert tbl.read(include_deleted=True).filter(F.col("_deleted")).count() == 0
 
 
+def test_empty_batch_still_commits_offset_range(spark, tmp_path):
+    """A batch whose rows were all filtered upstream (e.g. quarantined)
+    must still record its offset range — otherwise the ledger keeps a
+    permanent hole and replay-completeness checks never converge."""
+    tbl = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=4).create(PAYLOAD)
+    empty = spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("lsn", T.LongType()),
+                T.StructField("op", T.StringType()),
+            ]
+            + list(PAYLOAD.fields)
+        ),
+    )
+    v, counts = tbl.merge(empty, batch_id=0, offset_range=(100, 110))
+    assert v == 1 and counts == [(-1, 0)]
+    assert tbl.applied_ranges() == [[100, 110]]
+    assert tbl.read().count() == 0
+    # re-delivery of the covered empty range no-ops
+    assert tbl.merge(empty, batch_id=0, offset_range=(100, 110))[0] == -1
+
+
 def test_manifest_lineage(spark, tmp_path):
     tbl = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=8).create(PAYLOAD)
     chunks = write_changelog_chunks(spark, SPEC, str(tmp_path / "log"), n_chunks=3)

@@ -147,10 +147,14 @@ def main() -> None:
                 f"ceiling_agg={res.get('ceiling_agg_sec')}s",
                 flush=True,
             )
-        if all(round_ceiling.get(c) for c in pair):
-            ceiling_effs.append(
-                (round_ceiling[pair[0]] / round_ceiling[pair[1]]) / 4
-            )
+        # one entry PER ROUND (None when a child run lacked the ceiling
+        # numbers) so the engine-vs-ceiling division below never pairs
+        # round i's engine efficiency with round j's ceiling
+        ceiling_effs.append(
+            (round_ceiling[pair[0]] / round_ceiling[pair[1]]) / 4
+            if all(round_ceiling.get(c) for c in pair)
+            else None
+        )
         p_after = round(host_probe(), 1)
         print(f"round {r} host_probe(after)={p_after:.0f} matmul/s", flush=True)
         probes.append([p_before, p_after])
@@ -188,18 +192,22 @@ def main() -> None:
         # platform scan ceiling measured per round in the same pinned JVMs
         # on the same input: the box's own 2v8 efficiency for scan-shaped
         # work bounds anything a scan-dominated job can achieve
-        "ceiling_scan_efficiencies": [round(e, 3) for e in ceiling_effs],
+        "ceiling_scan_efficiencies": [
+            (round(e, 3) if e is not None else None) for e in ceiling_effs
+        ],
         "ceiling_scan_median": (
-            round(statistics.median(ceiling_effs), 3) if ceiling_effs else None
+            round(statistics.median([e for e in ceiling_effs if e]), 3)
+            if any(ceiling_effs)
+            else None
         ),
         "efficiency_vs_ceiling_median": (
             round(
                 statistics.median(
-                    [e / c for e, c in zip(pair_effs, ceiling_effs)]
+                    [e / c for e, c in zip(pair_effs, ceiling_effs) if c]
                 ),
                 3,
             )
-            if ceiling_effs
+            if any(ceiling_effs)
             else None
         ),
         "all_rates": {k: [round(x, 1) for x in v] for k, v in rates.items()},
