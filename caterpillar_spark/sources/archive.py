@@ -4,8 +4,11 @@ one archive file → one record per member, with member name/size metadata.
 
 Spark form: ``binaryFile`` read → Arrow-batched ``mapInPandas`` over the
 stdlib ``zipfile``/``tarfile`` — vectorized at the file granularity (each
-archive is one row; members explode 1→N, the UDTF shape). Pack (N→1) is
-out of core scope like the reference's upload-side extras (SURVEY.md §7.6).
+archive is one row; members explode 1→N, the UDTF shape). The PACK
+direction (``archive.go:86-103`` N records → one archive, member names
+from context) is :func:`pack_archives`: a grouped N→1 aggregation via
+``applyInPandas`` — one archive blob per group, built in memory per
+executor.
 
 Scale note: archives are driver-opaque blobs; partition count = file count,
 so a directory of many small archives parallelizes naturally. A single
@@ -74,3 +77,60 @@ def unpack_archives(
 
     blobs = spark.read.format("binaryFile").load(path_glob).select("path", "content")
     return blobs.mapInPandas(kernel, schema=MEMBER_SCHEMA)
+
+
+PACKED_SCHEMA = T.StructType(
+    [
+        T.StructField("group_key", T.StringType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("n_members", T.IntegerType()),
+        T.StructField("archive", T.BinaryType()),
+    ]
+)
+
+
+def pack_archives(
+    df: DataFrame,
+    group_col: str,
+    name_col: str,
+    payload_col: str,
+    fmt: str = "zip",
+) -> DataFrame:
+    """N records → one archive blob per group (the reference's archive
+    pack task: member names come from record context, here the
+    ``name_col``). ``fmt``: ``zip`` | ``tar`` | ``tar.gz``.
+
+    Members are written in ``name_col`` order so the blob is
+    deterministic for a given group content; zip entries carry a fixed
+    epoch timestamp for the same reason (archives built on different days
+    must still be byte-comparable)."""
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(name_col, kind="mergesort")
+        buf = io.BytesIO()
+        if fmt == "zip":
+            with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+                for name, payload in zip(pdf[name_col], pdf[payload_col]):
+                    info = zipfile.ZipInfo(str(name), date_time=(1980, 1, 1, 0, 0, 0))
+                    z.writestr(info, bytes(payload))
+        elif fmt in ("tar", "tar.gz"):
+            mode = "w:gz" if fmt == "tar.gz" else "w"
+            with tarfile.open(fileobj=buf, mode=mode) as t:
+                for name, payload in zip(pdf[name_col], pdf[payload_col]):
+                    data = bytes(payload)
+                    ti = tarfile.TarInfo(str(name))
+                    ti.size = len(data)
+                    ti.mtime = 0
+                    t.addfile(ti, io.BytesIO(data))
+        else:
+            raise ValueError(f"unsupported archive format: {fmt!r}")
+        return pd.DataFrame(
+            {
+                "group_key": [str(pdf[group_col].iloc[0])],
+                "fmt": [fmt],
+                "n_members": [len(pdf)],
+                "archive": [buf.getvalue()],
+            }
+        )
+
+    return df.groupBy(group_col).applyInPandas(build, schema=PACKED_SCHEMA)
