@@ -96,10 +96,18 @@ def apply_changes(
         incoming = {}
         for r in stats:
             b = int(r["b"])
-            klo, khi, n = incoming.get(b, (None, None, 0))
+            prev = incoming.get(b)
+            if prev is None:
+                incoming[b] = (r["klo"], r["khi"], int(r["n"]))
+                continue
+            klo, khi, n = prev
+            # None = all-NULL conv_id in that group (min/max skip nulls);
+            # null-key events that slipped past quarantine must degrade the
+            # bucket range to unknown (conservative: _overlaps keeps every
+            # file a candidate), not raise min(str, None) (ADVICE r2)
             incoming[b] = (
-                r["klo"] if klo is None else min(klo, r["klo"]),
-                r["khi"] if khi is None else max(khi, r["khi"]),
+                None if klo is None or r["klo"] is None else min(klo, r["klo"]),
+                None if khi is None or r["khi"] is None else max(khi, r["khi"]),
                 n + int(r["n"]),
             )
         by_sp: dict[int, int] = {}

@@ -72,10 +72,31 @@ def translate_text(
     plumbing is the real, tested part, same posture as the media decode
     stub. Certified CDC paths never call external services."""
     factory = client_factory or _StubTranslateClient
+    # stable across pickling: the cache key must identify the FACTORY, not
+    # this closure (which re-pickles per query)
+    key = f"{getattr(factory, '__module__', '')}." + (
+        getattr(factory, "__qualname__", None) or repr(factory)
+    )
 
     @pandas_udf("string")
     def fn(texts: pd.Series) -> pd.Series:
-        client = factory()
+        # built once per python WORKER PROCESS (workers are reused across
+        # tasks AND actions), not once per Arrow batch — a real boto3
+        # client re-created every few thousand rows would redo connection
+        # setup + auth each time (ADVICE r2). The cache must survive
+        # re-deserialization of this closure, so it lives in sys.modules —
+        # the one per-process singleton that exists whether or not the
+        # package itself is importable on the worker.
+        import sys
+        import types
+
+        reg = sys.modules.get("caterpillar_spark._translate_clients")
+        if reg is None:
+            reg = types.SimpleNamespace(cache={})
+            sys.modules["caterpillar_spark._translate_clients"] = reg
+        client = reg.cache.get(key)
+        if client is None:
+            client = reg.cache[key] = factory()
         return pd.Series(
             [
                 None if t is None else client.translate(t, source_lang, target_lang)

@@ -192,6 +192,14 @@ class SnapshotTable:
         self.root = root
         self.n_buckets = n_buckets
         self._log_dir = os.path.join(root, "_log")
+        if self.exists():
+            # adopt the stored n_buckets NOW: callers build bucket
+            # expressions (apply_changes' stats pass) before their first
+            # snapshot() load, and a mismatched count mis-buckets them
+            try:
+                self.snapshot()
+            except RuntimeError:
+                pass  # format-1 gate re-raises on first actual use
 
     # ------------------------------------------------------------- log io
     def _snap_path(self, v: int) -> str:
@@ -224,6 +232,14 @@ class SnapshotTable:
                 "data via spark.read.parquet + LWW-reduce, then create() "
                 "+ merge() into a new table) before using this engine"
             )
+        # the STORED bucket count is authoritative (ADVICE r2): an instance
+        # opened with a mismatched n_buckets would silently under-read
+        # (read() iterates range(self.n_buckets)) or mis-bucket merges.
+        # Adopt it and invalidate the route-expression cache.
+        stored_n = snap.properties.get("n_buckets")
+        if stored_n is not None and int(stored_n) != self.n_buckets:
+            self.n_buckets = int(stored_n)
+            self._route_col = None
         return snap
 
     def _commit(self, snap: Snapshot) -> None:
@@ -237,6 +253,14 @@ class SnapshotTable:
             os.link(tmp, final)  # atomic; raises FileExistsError on conflict
         finally:
             os.unlink(tmp)
+
+    def _stamped_properties(self, snap: Snapshot) -> dict:
+        """Commit properties always re-stamp format 2 + the bucket count:
+        a v2 writer committing into an EMPTY pre-existing format-1 table
+        (which passes the format gate because buckets is empty) must not
+        leave its one-bucket-per-file output flagged format-1, or the next
+        snapshot() raises against the writer's own valid data (ADVICE r2)."""
+        return {**snap.properties, "format": 2, "n_buckets": self.n_buckets}
 
     def _new_data_dir(self, version: int) -> str:
         # collision-free per writer: a losing concurrent committer's files
@@ -574,7 +598,7 @@ class SnapshotTable:
                         )
                     ],
                     parent=snap.version,
-                    properties=snap.properties,
+                    properties=self._stamped_properties(snap),
                     deltas=snap.deltas,
                     file_stats=snap.file_stats,
                 )
@@ -692,7 +716,7 @@ class SnapshotTable:
                 applied=applied,
                 lineage=lineage,
                 parent=snap.version,
-                properties=snap.properties,
+                properties=self._stamped_properties(snap),
                 deltas=new_deltas,
                 file_stats=file_stats,
             )
@@ -700,12 +724,18 @@ class SnapshotTable:
         return new_version, obs_counts
 
     # ------------------------------------------------------------ expire
-    def expire_snapshots(self, keep_last: int = 10) -> list[str]:
+    def expire_snapshots(
+        self, keep_last: int = 10, grace_seconds: float = 3600.0
+    ) -> list[str]:
         """Delete data directories referenced ONLY by snapshots older than
         the ``keep_last`` most recent (Iceberg's expire_snapshots). Also
-        collects orphan dirs from losing/crashed writers. Snapshot JSONs
-        are kept (they are tiny and hold the lineage history); their data
-        becomes unreadable. Returns removed dirs."""
+        collects orphan dirs from losing/crashed writers — but never dirs
+        younger than ``grace_seconds``: an IN-FLIGHT merge has written its
+        data dir before linking the snapshot JSON, and vacuuming it mid-
+        commit would produce a snapshot referencing deleted files (the
+        ``older_than`` pattern of Iceberg's remove_orphan_files; ADVICE
+        r2). Snapshot JSONs are kept (they are tiny and hold the lineage
+        history); their data becomes unreadable. Returns removed dirs."""
         import shutil
 
         current = self.current_version()
@@ -717,12 +747,19 @@ class SnapshotTable:
                 live_dirs.update(os.path.dirname(f) for f in files)
         data_root = os.path.join(self.root, "data")
         removed = []
+        now = time.time()
         if os.path.isdir(data_root):
             for d in sorted(os.listdir(data_root)):
                 full = os.path.join(data_root, d)
-                if full not in live_dirs:
-                    shutil.rmtree(full, ignore_errors=True)
-                    removed.append(full)
+                if full in live_dirs:
+                    continue
+                try:
+                    if now - os.path.getmtime(full) < grace_seconds:
+                        continue  # possibly an in-flight writer's dir
+                except OSError:
+                    continue  # vanished concurrently
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(full)
         return removed
 
     # ------------------------------------------------------------ compact
@@ -769,7 +806,7 @@ class SnapshotTable:
                 applied=snap.applied,
                 lineage=[],
                 parent=snap.version,
-                properties=snap.properties,
+                properties=self._stamped_properties(snap),
                 deltas=new_deltas,
                 file_stats=file_stats,
             )

@@ -56,7 +56,13 @@ def main() -> None:
     ap.add_argument("--table", required=True)
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--mode", choices=["batch", "stream"], default="stream")
-    ap.add_argument("--n-buckets", type=int, default=256)
+    ap.add_argument(
+        "--n-buckets",
+        type=int,
+        default=None,
+        help="bucket count for NEW tables (default 256); an existing "
+        "table's stored count is authoritative and always adopted",
+    )
     ap.add_argument("--create", action="store_true")
     args = ap.parse_args()
 
@@ -66,7 +72,7 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )
-    table = SnapshotTable(spark, args.table, n_buckets=args.n_buckets)
+    table = SnapshotTable(spark, args.table, n_buckets=args.n_buckets or 256)
     if args.create and not table.exists():
         table.create(TRANSCRIPT_SCHEMA)
 

@@ -162,3 +162,49 @@ def test_rsa_signing_verifies(spark):
         ).collect()
     }
     assert again == out
+
+
+def test_translate_text_client_built_once_per_worker(spark):
+    """ADVICE r2: the client must be constructed once per python worker
+    process, not once per Arrow batch — multiple partitions and repeated
+    actions through the same factory may not re-run it in a reused
+    worker."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from caterpillar_spark.functions import translate_text
+
+    path = "/tmp/caterpillar_translate_count.txt"
+    if os.path.exists(path):
+        os.unlink(path)
+
+    class _CountingClient:
+        """Appends its construction (worker pid) to a shared file so the
+        test can observe how many times the factory ran. Defined inside
+        the test so cloudpickle ships it by value (local[*] workers can't
+        import the test module)."""
+
+        def __init__(self):
+            import os as _os
+
+            with open("/tmp/caterpillar_translate_count.txt", "a") as f:
+                f.write(f"{_os.getpid()}\n")
+
+        def translate(self, text, source_lang, target_lang):
+            return text.upper()
+    df = (
+        spark.range(2000)
+        .repartition(8)
+        .select(F.concat(F.lit("t"), F.col("id")).alias("s"))
+    )
+    col = translate_text("s", "es", "en", client_factory=_CountingClient)
+    out = df.select(col.alias("t"))
+    # count() would prune the UDF column; aggregate over it instead
+    out.agg(F.max("t")).collect()
+    out.agg(F.max("t")).collect()  # reused workers must NOT rebuild
+    pids = open(path).read().split()
+    assert len(pids) == len(set(pids)), (
+        f"client constructed {len(pids)} times across "
+        f"{len(set(pids))} worker processes"
+    )

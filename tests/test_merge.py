@@ -172,3 +172,32 @@ def test_manifest_lineage(spark, tmp_path):
     assert m.select("partition").distinct().count() == SPEC.n_source_partitions
     lo, hi = m.agg(F.min("offset_start"), F.max("offset_end")).collect()[0]
     assert (lo, hi) == (0, SPEC.n_events - 1)
+
+
+def test_apply_changes_null_key_group_stats(spark, tmp_path):
+    """ADVICE r2: a bucket whose stats groups mix all-NULL conv_id with
+    non-null ones must degrade its key range to unknown (conservative),
+    not crash on min(str, None)."""
+    import datetime
+
+    from caterpillar_spark.cdc import apply_changes
+
+    ts = datetime.datetime(2024, 1, 1)
+    tbl = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=2).create(PAYLOAD)
+    # non-null keys on partition 1 cover BOTH buckets; partition 2
+    # contributes an all-null group -> its bucket accumulates a known
+    # range with an unknown one
+    rows = [
+        (i, 1, "U", f"c{i}", 0, "user", "a", None, ts) for i in range(8)
+    ] + [
+        (8, 2, "U", None, 1, "user", "c", None, ts),
+        (9, 2, "U", None, 2, "user", "d", None, ts),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "lsn long, source_partition int, op string, conv_id string, "
+        "turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    res = apply_changes(events, tbl, batch_id=0)  # offset_range=None path
+    assert res.snapshot_version >= 1
+    assert tbl.read().count() >= 1
