@@ -4,22 +4,40 @@ CPUs on the same pre-generated input, efficiency = (rate_4N / rate_N) / 4.
 Methodology (every point below was forced by a measurement, see
 BENCH/BASELINE.md):
 
-- **CPU affinity, not just local[N]** — each run is a subprocess whose
-  whole tree (incl. the JVM) is pinned to exactly N CPUs
-  (``os.sched_setaffinity`` in tools/scaling.py before JVM launch).
+- **CPU affinity, not just local[N]** — each level is a worker JVM whose
+  whole tree is pinned to a DISJOINT range of exactly N CPUs
+  (``os.sched_setaffinity`` in tools/scaling_worker.py before JVM launch).
   local[N] alone only bounds executor task threads; GC/JIT/Netty/kernel
   spill onto all 32 vCPUs and make the small level ~2x too fast.
-- **N=4 vs 4N=16, not 8 vs 32** — the 32 vCPUs are SMT-limited to ~18-19
-  effective cores (8→32 burn threads: 2.1x; 4→16: 4.1x). Both levels must
-  sit inside the machine's real core budget or the test measures SMT.
-- **Interleaved pairs, alternating order, medians** — host throughput
-  drifts several-fold over minutes; per-pair efficiency + median over
-  pairs cancels drift to first order.
+- **N=2 vs 4N=8, not 8 vs 32** — the 32 vCPUs are SMT-limited to ~18-19
+  effective cores and memory bandwidth DEGRADES past 8 threads
+  (parallel-memcpy aggregate: 2→61, 8→220, 16→142 GB/s). Both levels must
+  sit inside the machine's linear region or the test measures the host's
+  memory subsystem.
+- **Persistent warm workers, interleaved rounds, medians** — host
+  throughput drifts several-fold over minutes; per-pair efficiency +
+  median over pairs cancels drift to first order, and keeping each
+  level's JVM alive for the whole record keeps every sample at C2
+  steady state (a fresh JVM runs the merge path ~4x slow at first).
+- **In-round throttle canary** — each round runs every level TWICE, the
+  duplicates bracketing the other level's run in time
+  (hi,lo,hi,lo). Hypervisor throttling that sets in mid-round makes the
+  two same-level replays disagree; a round where either level's pair
+  disagrees beyond --canary-ratio (default 1.1, measured calibration below) is canary-dirty and excluded from the gate metric.
+  This closes the hole in the round-2 before/after host probes, which
+  demonstrably missed throttling that hit between the probes (VERDICT
+  r2 what's-wrong #3: a round with healthy probes 2925/2360 still
+  collapsed to efficiency 0.337 mid-round).
 - **tmpfs data dirs** — table+shuffle on /dev/shm removes the single
   shared disk (a real cluster has per-executor disks; this sandbox's one
   vda device would serialize all levels equally).
 
-Usage: python tools/run_scaling.py [--events 10000000] [--rounds 4] [--n 4]
+The gate metric is ``efficiency_median_canary_clean`` — the median of
+pair efficiencies over canary-clean rounds; the co-measured raw-pyspark
+scan ceiling (same JVMs, same input, same windows) stays in the record so
+engine-attributable loss remains separable from platform loss.
+
+Usage: python tools/run_scaling.py [--events 10000000] [--rounds 4] [--n 2]
 """
 
 from __future__ import annotations
@@ -47,12 +65,9 @@ def _burn(n: int) -> float:
 def host_probe(n_procs: int = 8, reps: int = 60) -> float:
     """Aggregate host compute capacity RIGHT NOW (matmuls/sec across
     n_procs processes, fixed work so runtime is bounded even when
-    throttled). The hypervisor caps this VM's total throughput under
-    sustained load — measured 4x collapses mid-record — and a throttled
-    round measures the cap, not the engine's scaling. Probing
-    independently BEFORE each round lets the record keep every sample and
-    still report efficiency over rounds where the host was actually
-    delivering its capacity. ~1-4s per probe."""
+    throttled). Kept alongside the in-round canary: the probe captures
+    the host's state at the round boundaries, the canary captures changes
+    WITHIN the round. ~1-4s per probe."""
     import multiprocessing as mp
 
     with mp.get_context("spawn").Pool(n_procs) as pool:
@@ -65,50 +80,77 @@ def host_probe(n_procs: int = 8, reps: int = 60) -> float:
         return best
 
 
-def one_run(cores: int, events: int, chunks: int, tmpfs: bool) -> dict:
-    cmd = [
-        sys.executable,
-        "/root/repo/tools/scaling.py",
-        "--cores",
-        str(cores),
-        "--events",
-        str(events),
-        "--chunks",
-        str(chunks),
-        "--runs",
-        "1",
-    ]
-    if tmpfs:
-        cmd.append("--tmpfs")
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
-    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
-    if not lines:
-        raise RuntimeError(f"run failed: {out.stderr[-500:]}")
-    return json.loads(lines[-1])
+class Worker:
+    """One persistent pinned replay JVM (tools/scaling_worker.py)."""
+
+    def __init__(self, cores: int, cpu_offset: int, events: int,
+                 chunks: int, tmpfs: bool):
+        self.cores = cores
+        cmd = [
+            sys.executable, "/root/repo/tools/scaling_worker.py",
+            "--cores", str(cores), "--cpu-offset", str(cpu_offset),
+            "--events", str(events), "--chunks", str(chunks),
+        ]
+        if tmpfs:
+            cmd.append("--tmpfs")
+        self.proc = subprocess.Popen(
+            cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL, text=True, bufsize=1,
+        )
+
+    def _read(self) -> dict:
+        while True:
+            line = self.proc.stdout.readline()
+            if not line:
+                raise RuntimeError(f"worker cores={self.cores} died")
+            line = line.strip()
+            if line.startswith("{") and '"kind"' in line:
+                return json.loads(line)
+
+    def wait_ready(self) -> None:
+        msg = self._read()
+        assert msg["kind"] == "ready", msg
+
+    def cmd(self, what: str) -> dict:
+        self.proc.stdin.write(what + "\n")
+        self.proc.stdin.flush()
+        return self._read()
+
+    def stop(self) -> None:
+        try:
+            self.proc.stdin.write("quit\n")
+            self.proc.stdin.flush()
+            self.proc.wait(timeout=60)
+        except Exception:
+            self.proc.kill()
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
+    # 10M events: 5M was tried first (VERDICT r2 suggested shorter
+    # rounds) but at 2.5M-row batches the hi level's fixed per-batch
+    # driver-serial cost eats ~5% efficiency STRUCTURALLY (a canary-clean
+    # 5M round measured 0.748 where 10M rounds reach 0.80) — the canary,
+    # not round length, is the throttle defence now
     ap.add_argument("--events", type=int, default=10_000_000)
     ap.add_argument("--chunks", type=int, default=2)
     ap.add_argument("--rounds", type=int, default=4)
-    # N=2 vs 4N=8: the only pair where both levels sit inside this VM's
-    # linear memory-bandwidth region (parallel-memcpy aggregate: 2→61,
-    # 8→220, 16→142 GB/s — bandwidth DEGRADES past 8 threads), so 2v8
-    # measures the engine rather than the host's memory subsystem
     ap.add_argument("--n", type=int, default=2)
     ap.add_argument("--no-tmpfs", dest="tmpfs", action="store_false")
-    # the hypervisor throttles under sustained load (every record's FIRST
-    # pair measures best); a cooldown between rounds lets the host budget
-    # recover so more rounds land in the healthy window
+    # the hypervisor throttles under sustained load; a cooldown between
+    # rounds lets the host budget recover so more rounds land clean
     ap.add_argument("--cooldown", type=int, default=120)
-    # rounds whose pre-round host probe is below this fraction of the
-    # record's best probe are kept in the raw record but excluded from the
-    # healthy-window efficiency (a capped host flattens BOTH levels to the
-    # same ceiling — those rounds measure the hypervisor, not the engine)
+    # probe-based health (round boundaries) — kept for continuity with
+    # round-2 records
     ap.add_argument("--healthy-frac", type=float, default=0.7)
+    # in-round canary: same-level duplicate replays disagreeing more than
+    # this ratio mark the round dirty. Measured calibration: in a stable
+    # window the duplicates agree within 1.01; a round at 1.16/1.13
+    # produced a junk 0.458 pair efficiency — so the gate wants TIGHT
+    # agreement, not bench.py's 1.3 outlier guard
+    ap.add_argument("--canary-ratio", type=float, default=1.1)
     args = ap.parse_args()
-    pair = (args.n, 4 * args.n)
+    lo, hi = args.n, 4 * args.n
 
     if args.tmpfs:
         os.makedirs("/dev/shm/caterpillar_scaling", exist_ok=True)
@@ -119,59 +161,82 @@ def main() -> None:
     subprocess.run(["pkill", "-9", "-f", "SparkSubmit"], capture_output=True)
     time.sleep(2)
 
-    # warm-up (JIT profile data is per-process, but page cache + generator
-    # cache persist), discarded
-    one_run(pair[1], args.events, args.chunks, args.tmpfs)
+    # hi first (generates the shared input cache fastest), then lo;
+    # disjoint core ranges: hi on [0, hi), lo on [hi, hi+lo)
+    w = {}
+    w[hi] = Worker(hi, 0, args.events, args.chunks, args.tmpfs)
+    w[hi].wait_ready()
+    w[lo] = Worker(lo, hi, args.events, args.chunks, args.tmpfs)
+    w[lo].wait_ready()
+    print(f"workers ready: cores={hi} (cpus 0-{hi-1}), "
+          f"cores={lo} (cpus {hi}-{hi+lo-1})", flush=True)
 
-    rates: dict[int, list[float]] = {pair[0]: [], pair[1]: []}
-    secs: dict[int, list[float]] = {pair[0]: [], pair[1]: []}
+    rates: dict[int, list[float]] = {lo: [], hi: []}
+    secs: dict[int, list[float]] = {lo: [], hi: []}
     pair_effs: list[float] = []
-    ceiling_effs: list[float] = []  # platform scan efficiency per round
-    probes: list[list[float]] = []  # [before, after] per round
-    for r in range(args.rounds):
-        p_before = round(host_probe(), 1)
-        print(f"round {r} host_probe(before)={p_before:.0f} matmul/s", flush=True)
-        order = (pair[1], pair[0]) if r % 2 == 0 else (pair[0], pair[1])
-        round_rate = {}
-        round_ceiling = {}
-        for cores in order:
-            res = one_run(cores, args.events, args.chunks, args.tmpfs)
-            rates[cores].append(res["events_per_sec"])
-            secs[cores].append(res["seconds"])
-            round_rate[cores] = res["events_per_sec"]
-            round_ceiling[cores] = res.get("ceiling_scan_sec")
+    ceiling_effs: list[float] = []
+    canary_ratios: list[dict] = []  # {"2": r, "8": r} per round
+    probes: list[list[float]] = []
+    try:
+        for r in range(args.rounds):
+            p_before = round(host_probe(), 1)
+            print(f"round {r} host_probe(before)={p_before:.0f}", flush=True)
+            a, b = (hi, lo) if r % 2 == 0 else (lo, hi)
+            # run a, run b, ceil a, ceil b, run a, run b — each level's
+            # duplicates bracket the other level's runs AND the ceilings
+            round_rates: dict[int, list[float]] = {lo: [], hi: []}
+            round_ceiling: dict[int, float] = {}
+            for cores in (a, b):
+                res = w[cores].cmd("run")
+                round_rates[cores].append(res["events_per_sec"])
+                secs[cores].append(res["seconds"])
+            for cores in (a, b):
+                c = w[cores].cmd("ceil")
+                round_ceiling[cores] = c["ceiling_scan_sec"]
+            for cores in (a, b):
+                res = w[cores].cmd("run")
+                round_rates[cores].append(res["events_per_sec"])
+                secs[cores].append(res["seconds"])
+            p_after = round(host_probe(), 1)
+            probes.append([p_before, p_after])
+
+            ratio = {
+                str(c): round(max(round_rates[c]) / min(round_rates[c]), 3)
+                for c in (lo, hi)
+            }
+            canary_ratios.append(ratio)
+            rate = {c: statistics.median(round_rates[c]) for c in (lo, hi)}
+            rates[lo].append(rate[lo])
+            rates[hi].append(rate[hi])
+            pair_effs.append((rate[hi] / rate[lo]) / 4)
+            ceiling_effs.append(
+                (round_ceiling[lo] / round_ceiling[hi]) / 4
+                if round_ceiling.get(lo) and round_ceiling.get(hi)
+                else None
+            )
             print(
-                f"round {r} cpus={cores}: {res['seconds']}s "
-                f"{res['events_per_sec']:.0f} ev/s "
-                f"ceiling_scan={res.get('ceiling_scan_sec')}s "
-                f"ceiling_agg={res.get('ceiling_agg_sec')}s",
+                f"round {r}: lo={rate[lo]:.0f} hi={rate[hi]:.0f} ev/s "
+                f"eff={pair_effs[-1]:.3f} canary={ratio} "
+                f"ceil_eff={ceiling_effs[-1]} probe_after={p_after:.0f}",
                 flush=True,
             )
-        # one entry PER ROUND (None when a child run lacked the ceiling
-        # numbers) so the engine-vs-ceiling division below never pairs
-        # round i's engine efficiency with round j's ceiling
-        ceiling_effs.append(
-            (round_ceiling[pair[0]] / round_ceiling[pair[1]]) / 4
-            if all(round_ceiling.get(c) for c in pair)
-            else None
-        )
-        p_after = round(host_probe(), 1)
-        print(f"round {r} host_probe(after)={p_after:.0f} matmul/s", flush=True)
-        probes.append([p_before, p_after])
-        pair_effs.append((round_rate[pair[1]] / round_rate[pair[0]]) / 4)
-        if args.cooldown and r < args.rounds - 1:
-            time.sleep(args.cooldown)
+            if args.cooldown and r < args.rounds - 1:
+                time.sleep(args.cooldown)
+    finally:
+        for worker in w.values():
+            worker.stop()
 
-    lo, hi = pair
     best_probe = max(max(p) for p in probes)
-    # healthy = the host delivered capacity through the WHOLE round
-    # (throttling can set in mid-round, so both endpoints must pass)
     healthy = [
-        i
-        for i in range(args.rounds)
+        i for i in range(len(probes))
         if min(probes[i]) >= args.healthy_frac * best_probe
     ]
+    clean = [
+        i for i, cr in enumerate(canary_ratios)
+        if max(cr.values()) <= args.canary_ratio
+    ]
     healthy_effs = [pair_effs[i] for i in healthy]
+    clean_effs = [pair_effs[i] for i in clean]
     summary = {
         "events": args.events,
         "chunks": args.chunks,
@@ -189,9 +254,12 @@ def main() -> None:
         "efficiency_median_healthy": (
             round(statistics.median(healthy_effs), 3) if healthy_effs else None
         ),
-        # platform scan ceiling measured per round in the same pinned JVMs
-        # on the same input: the box's own 2v8 efficiency for scan-shaped
-        # work bounds anything a scan-dominated job can achieve
+        "canary_ratio_threshold": args.canary_ratio,
+        "canary_ratios": canary_ratios,
+        "canary_clean_rounds": clean,
+        "efficiency_median_canary_clean": (
+            round(statistics.median(clean_effs), 3) if clean_effs else None
+        ),
         "ceiling_scan_efficiencies": [
             (round(e, 3) if e is not None else None) for e in ceiling_effs
         ],
@@ -213,6 +281,8 @@ def main() -> None:
         "all_rates": {k: [round(x, 1) for x in v] for k, v in rates.items()},
         "all_seconds": secs,
         "affinity_pinned": True,
+        "disjoint_pinning": True,
+        "persistent_workers": True,
         "cooldown": args.cooldown,
         "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
