@@ -16,6 +16,17 @@ from caterpillar_spark.sources.http import (  # noqa: F401
     paginate,
 )
 from caterpillar_spark.sources.http_server import WebhookSpool  # noqa: F401
+from caterpillar_spark.sources.param_store import (  # noqa: F401
+    get_parameters,
+    publish_parameters,
+    put_parameters,
+)
+from caterpillar_spark.sources.poll import submit_and_poll  # noqa: F401
+from caterpillar_spark.sources.sftp import (  # noqa: F401
+    fetch_sftp,
+    paramiko_transport,
+    put_sftp,
+)
 from caterpillar_spark.sources.kafka import (  # noqa: F401
     parse_changelog_json,
     stream_kafka_changelog,
