@@ -1,0 +1,147 @@
+"""ANN scale-path guarantees (VERDICT r2 #3): OR-amplified multi-table
+SRP recall vs exact ground truth, scale-aware plane defaults, seeded
+deterministic k-means centroids, and bucket-blocked plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from caterpillar_spark.operators.similarity import (
+    cosine_neardup_pairs,
+    cosine_topk,
+    ivf_topk,
+    kmeans_centroids,
+    lsh_bucketed_topk,
+    planes_for,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def _recall_at_k(approx, exact, k):
+    """|approx ∩ exact| / |exact| over (query_id, neighbor_id) pairs."""
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    return len(a & e) / len(e)
+
+
+def test_multi_table_recall_monotone(spark, emb):
+    """More OR-amplification tables -> recall rises toward exact; the
+    single-table high-plane config must be strictly recoverable."""
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = cosine_topk(emb, queries, k=5)
+    # test embeddings are near-random: a top-5 "neighbor" sits at cosine
+    # ~0.2-0.4 (theta ~70-80deg), so per-table collision at 2 planes is
+    # ~p^2 with p = 1 - theta/pi ~ 0.57-0.61 -> ~0.33-0.37; OR over 4
+    # independent tables ~0.80. The test pins the OR-amplification math,
+    # not clustered-corpus recall (which would be far higher).
+    r1 = _recall_at_k(
+        lsh_bucketed_topk(emb, queries, k=5, n_planes=2, dim=64, n_tables=1),
+        exact,
+        5,
+    )
+    r4 = _recall_at_k(
+        lsh_bucketed_topk(emb, queries, k=5, n_planes=2, dim=64, n_tables=4),
+        exact,
+        5,
+    )
+    assert r4 >= r1
+    assert r4 >= 0.55, (r1, r4)  # 4 tables must recover most neighbors
+
+
+def test_scale_aware_plane_default():
+    # small corpora get few planes; growth is logarithmic; clamped
+    assert planes_for(1_000) == 2
+    assert planes_for(10_000) == 2
+    assert planes_for(1_000_000) == 7
+    assert planes_for(10**9) == 17
+    assert planes_for(10**12) == 24  # clamp
+    # derived default actually flows through (one count job, no error)
+
+
+def test_auto_planes_flow(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = lsh_bucketed_topk(emb, queries, k=3, n_planes=None, dim=64)
+    assert out.count() > 0
+
+
+def test_kmeans_deterministic_and_improves_ivf(spark, emb):
+    """Seeded k-means: same result on repeated runs (certified-path rule:
+    no RNG), valid (cid, cent_vec) shape, and IVF accepts it."""
+    c1 = kmeans_centroids(emb, 4, iters=2, vec_col="embedding")
+    c2 = kmeans_centroids(emb, 4, iters=2, vec_col="embedding")
+    a = sorted(map(tuple, c1.collect()))
+    b = sorted(map(tuple, c2.collect()))
+    assert a == b  # deterministic across runs
+    assert len(a) == 4
+    assert all(len(r[1]) == 64 for r in a)
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = ivf_topk(
+        emb, queries, k=3, n_centroids=4, n_probe=2, centroids="kmeans"
+    )
+    got = out.collect()
+    assert len(got) > 0
+    # contract columns unchanged vs the first_k path
+    assert out.columns == ["query_id", "neighbor_id", "cos_sim", "rank"]
+
+
+def test_kmeans_recall_not_worse_than_first_k(spark, emb):
+    """The refinement exists to beat the placeholder quantizer: with the
+    same probe budget, k-means lists must not lose recall vs first-K.
+    Queries must be DISJOINT from the first-K ids — a query that is
+    itself a centroid trivially probes its own list and inflates the
+    first-K side (measured: 0.95 with vec_id<8 queries vs 0.5 fair)."""
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 108))
+    exact = cosine_topk(emb, queries, k=5)
+    r_first = _recall_at_k(
+        ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=2,
+                 centroids="first_k"),
+        exact,
+        5,
+    )
+    r_kmeans = _recall_at_k(
+        ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=2,
+                 centroids="kmeans"),
+        exact,
+        5,
+    )
+    assert r_kmeans >= r_first - 0.05, (r_first, r_kmeans)
+
+
+def test_candidate_join_stays_bucket_blocked(spark, emb):
+    """Plan test: the LSH candidate join must hash-join on the bucket
+    key, not degrade to a cartesian/BNL product (the one crossJoin in
+    this module is the K-row broadcast centroid assignment — that IS the
+    IVF algorithm)."""
+    queries = emb.filter(F.col("vec_id") < 3)
+    for df in (
+        lsh_bucketed_topk(emb, queries, k=3, n_planes=4, dim=64, n_tables=2),
+        cosine_neardup_pairs(emb, threshold=0.2, n_planes=4, dim=64,
+                             n_tables=2),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, plan[:2000]
+        assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+        assert "lsh_bucket" in plan
+
+
+def test_neardup_multi_table_dedupes_pairs(spark, emb):
+    """A pair colliding in several tables must be emitted once."""
+    out = cosine_neardup_pairs(
+        emb, threshold=0.2, n_planes=2, dim=64, n_tables=3
+    )
+    pairs = [(r["id_a"], r["id_b"]) for r in out.collect()]
+    assert len(pairs) == len(set(pairs))
+    # and multi-table is a superset of single-table (OR-amplification)
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_neardup_pairs(
+            emb, threshold=0.2, n_planes=2, dim=64, n_tables=1
+        ).collect()
+    }
+    assert single <= set(pairs)
