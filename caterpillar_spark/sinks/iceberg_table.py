@@ -47,6 +47,60 @@ APPLIED_PROP = "caterpillar.applied-ranges"
 LINEAGE_PROP = "caterpillar.lineage"
 
 
+def merge_sql(identifier: str, updates_view: str = "_caterpillar_updates") -> str:
+    """The MERGE statement, as a pure function of the table identifier.
+
+    Extracted so the LWW/tombstone/ledger semantics are snapshot-testable
+    WITHOUT the Iceberg jar (VERDICT r2 next-round #8: the jar-gated path
+    must not be able to silently regress). The invariants the test pins:
+
+    - the source dedupes to max-lsn per key (a batch can carry several
+      events for one key; MERGE forbids two source matches per target row);
+    - the matched arm carries ``u.lsn > t.lsn`` — stored-LSN LWW, so a
+      partially-overlapping re-delivered batch can never overwrite newer
+      rows with older values;
+    - deletes are TOMBSTONES in BOTH arms (``u.op = 'D'`` sets
+      ``_deleted``; never a DELETE arm): a physically-deleted row has no
+      ``t.lsn`` left to guard with, so re-delivery would resurrect it
+      through the INSERT arm.
+    """
+    return f"""
+            MERGE INTO {identifier} t
+            USING (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS _rn
+                FROM {updates_view}
+              ) WHERE _rn = 1
+            ) u
+            ON t.conv_id = u.conv_id AND t.turn_idx = u.turn_idx
+            WHEN MATCHED AND u.lsn > t.lsn THEN UPDATE SET
+              t.role = u.role, t.text = u.text, t.tool = u.tool, t.ts = u.ts,
+              t.lsn = u.lsn, t._deleted = (u.op = 'D')
+            WHEN NOT MATCHED THEN INSERT
+              (conv_id, turn_idx, role, text, tool, ts, lsn, _deleted)
+              VALUES (u.conv_id, u.turn_idx, u.role, u.text, u.tool, u.ts,
+                      u.lsn, u.op = 'D')
+            """
+
+
+def updated_ledger(
+    summary: dict, stream_id: str, lo: int, hi: int
+) -> dict | None:
+    """Next value of the applied-ranges ledger property, or None when
+    [lo, hi] is already covered (=> the merge is a no-op). Merges into the
+    FULL summary ledger — all streams — because each commit REPLACES the
+    property: writing only the current stream would erase other streams'
+    applied ranges (the round-1 Iceberg ledger-erasure bug, fixed r2)."""
+    raw = summary.get(APPLIED_PROP)
+    applied: dict = json.loads(raw) if raw else {}
+    prior = applied.get(stream_id, [])
+    if _covered(prior, lo, hi):
+        return None
+    applied[stream_id] = _merge_ranges(prior + [[lo, hi]])
+    return applied
+
+
 class IcebergTable:
     """Same merge/read/applied_ranges surface as SnapshotTable.
 
@@ -107,13 +161,9 @@ class IcebergTable:
         # full-summary read, not just this stream: a commit rewriting the
         # ledger with ONLY the current stream would erase other streams'
         # applied ranges (each commit snapshot-props replace the property)
-        summary = self._latest_summary()
-        raw = summary.get(APPLIED_PROP)
-        applied: dict = json.loads(raw) if raw else {}
-        prior = applied.get(stream_id, [])
-        if _covered(prior, lo, hi):
+        applied = updated_ledger(self._latest_summary(), stream_id, lo, hi)
+        if applied is None:
             return -1, None
-        applied[stream_id] = _merge_ranges(prior + [[lo, hi]])
         lineage = [
             {"batch_id": batch_id, "partition": p, "rows_applied": n,
              "offset_start": lo, "offset_end": hi}
@@ -127,33 +177,8 @@ class IcebergTable:
             f"spark.wap.snapshot-property.{LINEAGE_PROP}", json.dumps(lineage)
         )
         updates.createOrReplaceTempView("_caterpillar_updates")
-        # lsn is STORED (t.lsn) and every matched arm carries `u.lsn > t.lsn`
-        # so a partially-overlapping re-delivered batch (ledger range not
-        # fully covered => re-applied) can never overwrite newer rows with
-        # older values — the same LWW-over-stored-lsn semantics as
-        # SnapshotTable. Deletes become TOMBSTONES (never physical), and
-        # the INSERT arm takes every op including unmatched deletes: the
-        # stored (lsn, _deleted) pair is what guards ALL later replays.
-        self.spark.sql(
-            f"""
-            MERGE INTO {self.identifier} t
-            USING (
-              SELECT * FROM (
-                SELECT *, row_number() OVER (
-                  PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS _rn
-                FROM _caterpillar_updates
-              ) WHERE _rn = 1
-            ) u
-            ON t.conv_id = u.conv_id AND t.turn_idx = u.turn_idx
-            WHEN MATCHED AND u.lsn > t.lsn THEN UPDATE SET
-              t.role = u.role, t.text = u.text, t.tool = u.tool, t.ts = u.ts,
-              t.lsn = u.lsn, t._deleted = (u.op = 'D')
-            WHEN NOT MATCHED THEN INSERT
-              (conv_id, turn_idx, role, text, tool, ts, lsn, _deleted)
-              VALUES (u.conv_id, u.turn_idx, u.role, u.text, u.tool, u.ts,
-                      u.lsn, u.op = 'D')
-            """
-        )
+        # semantics documented (and regression-pinned) on merge_sql()
+        self.spark.sql(merge_sql(self.identifier))
         snap = self.spark.sql(
             f"SELECT snapshot_id FROM {self.identifier}.snapshots "
             "ORDER BY committed_at DESC LIMIT 1"
