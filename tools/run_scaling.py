@@ -149,6 +149,15 @@ def main() -> None:
     # produced a junk 0.458 pair efficiency — so the gate wants TIGHT
     # agreement, not bench.py's 1.3 outlier guard
     ap.add_argument("--canary-ratio", type=float, default=1.1)
+    # adaptive mode: keep running rounds (up to --max-rounds) until this
+    # many canary-clean rounds accumulate — healthy host windows arrive
+    # unpredictably between throttle phases, so a fixed round count either
+    # wastes a healthy stretch or ends with zero clean rounds
+    ap.add_argument("--target-clean", type=int, default=0)
+    ap.add_argument("--max-rounds", type=int, default=12)
+    # a dirty round means the host is mid-throttle: wait longer before
+    # burning another round into the same window
+    ap.add_argument("--dirty-cooldown", type=int, default=300)
     args = ap.parse_args()
     lo, hi = args.n, 4 * args.n
 
@@ -177,8 +186,10 @@ def main() -> None:
     ceiling_effs: list[float] = []
     canary_ratios: list[dict] = []  # {"2": r, "8": r} per round
     probes: list[list[float]] = []
+    n_rounds = args.max_rounds if args.target_clean else args.rounds
+    n_clean = 0
     try:
-        for r in range(args.rounds):
+        for r in range(n_rounds):
             p_before = round(host_probe(), 1)
             print(f"round {r} host_probe(before)={p_before:.0f}", flush=True)
             a, b = (hi, lo) if r % 2 == 0 else (lo, hi)
@@ -220,8 +231,16 @@ def main() -> None:
                 f"ceil_eff={ceiling_effs[-1]} probe_after={p_after:.0f}",
                 flush=True,
             )
-            if args.cooldown and r < args.rounds - 1:
-                time.sleep(args.cooldown)
+            round_clean = max(ratio.values()) <= args.canary_ratio
+            n_clean += int(round_clean)
+            if args.target_clean and n_clean >= args.target_clean:
+                print(f"target of {args.target_clean} clean rounds reached",
+                      flush=True)
+                break
+            if r < n_rounds - 1:
+                cd = args.cooldown if round_clean else args.dirty_cooldown
+                if cd:
+                    time.sleep(cd)
     finally:
         for worker in w.values():
             worker.stop()
@@ -240,7 +259,8 @@ def main() -> None:
     summary = {
         "events": args.events,
         "chunks": args.chunks,
-        "rounds": args.rounds,
+        "rounds": len(pair_effs),
+        "target_clean": args.target_clean,
         "cores_n": lo,
         "cores_4n": hi,
         "rate_n_median": round(statistics.median(rates[lo]), 1),
