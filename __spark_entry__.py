@@ -438,6 +438,34 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=2)
 
 
+def q_ann_lsh_multitable(spark, sf_dir):
+    """OR-amplified SRP-LSH (L=2 independent plane sets; VERDICT r2 #3
+    scale fix) — oracle-verified: the DuckDB twin unions candidates over
+    both inlined plane sets before the exact re-rank."""
+    from caterpillar_spark.operators.similarity import lsh_bucketed_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return lsh_bucketed_topk(
+        emb, queries, k=5, n_planes=4, dim=64, n_tables=2
+    )
+
+
+def q_ann_ivf_kmeans(spark, sf_dir):
+    """IVF with the seeded deterministic k-means quantizer (rows-only:
+    Lloyd's iterations are a driver loop of Spark jobs — not one SQL
+    statement; correctness is pinned by tests/test_similarity.py's
+    determinism + fair-recall tests against the oracle-checked exact
+    top-k)."""
+    from caterpillar_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(
+        emb, queries, k=5, n_centroids=8, n_probe=2, centroids="kmeans"
+    )
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     from caterpillar_spark.operators.similarity import cosine_neardup_pairs
 
@@ -782,7 +810,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_lsh_multitable": q_ann_lsh_multitable,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_kmeans": q_ann_ivf_kmeans,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "media_features": q_media_features,
     }
@@ -1188,6 +1218,40 @@ def oracle_sql() -> dict[str, str]:
             ) AS rank FROM scored
           ) WHERE rank <= 5
         """,
+        "ann_lsh_multitable": f"""
+          WITH q AS (
+            SELECT vec_id AS query_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv,
+                   {_srp_bucket_sql(seed=42)} AS qb0,
+                   {_srp_bucket_sql(seed=1042)} AS qb1
+            FROM embeddings WHERE vec_id < 5
+          ), c AS (
+            SELECT vec_id AS neighbor_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv,
+                   {_srp_bucket_sql(seed=42)} AS cb0,
+                   {_srp_bucket_sql(seed=1042)} AS cb1
+            FROM embeddings
+          ), cand AS (
+            -- OR over the two independent plane sets = union of both
+            -- tables' bucket-blocked candidates, deduped per pair
+            SELECT DISTINCT query_id, neighbor_id, qv, cv
+            FROM c JOIN q
+              ON (cb0 = qb0 OR cb1 = qb1) AND neighbor_id <> query_id
+          ), scored AS (
+            SELECT query_id, neighbor_id,
+                   round(list_dot_product(qv, cv)
+                         / (sqrt(list_dot_product(qv, qv))
+                            * sqrt(list_dot_product(cv, cv))), 6) AS cos_sim
+            FROM cand
+          )
+          SELECT query_id, neighbor_id, cos_sim,
+                 CAST(rank AS INTEGER) AS rank
+          FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+            ) AS rank FROM scored
+          ) WHERE rank <= 5
+        """,
         "ann_ivf_topk": """
           WITH cent AS (
             SELECT vec_id AS cid,
@@ -1352,7 +1416,10 @@ def oracle_sql() -> dict[str, str]:
         # over shared input is cdc_replay_events), hmac_sha256/512/md5 and
         # rsa_sha256 (no HMAC/RSA in DuckDB; pytest-verified vs hashlib /
         # public-key verify), sample_percent / sample_random (seeded
-        # engine RNG not reproducible cross-engine)
+        # engine RNG not reproducible cross-engine), ann_ivf_kmeans
+        # (Lloyd's iterations are a driver loop of Spark jobs, not one SQL
+        # statement; determinism + fair recall pinned by
+        # tests/test_similarity.py against the oracle-checked exact top-k)
     }
 
 
