@@ -96,6 +96,9 @@ class Worker:
         self.proc = subprocess.Popen(
             cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
             stderr=subprocess.DEVNULL, text=True, bufsize=1,
+            # own session => pause()/resume() can SIGSTOP the whole tree
+            # (python + its JVM) without touching the orchestrator
+            start_new_session=True,
         )
 
     def _read(self) -> dict:
@@ -116,7 +119,28 @@ class Worker:
         self.proc.stdin.flush()
         return self._read()
 
+    def pause(self) -> None:
+        """SIGSTOP the whole worker tree while the OTHER level measures:
+        an 'idle' 24g JVM still runs GC/safepoint/Netty housekeeping, and
+        on this box memory bandwidth is the scaling limiter — a stopped
+        process is the only true zero."""
+        import signal
+
+        try:
+            os.killpg(os.getpgid(self.proc.pid), signal.SIGSTOP)
+        except (OSError, ProcessLookupError):
+            pass
+
+    def resume(self) -> None:
+        import signal
+
+        try:
+            os.killpg(os.getpgid(self.proc.pid), signal.SIGCONT)
+        except (OSError, ProcessLookupError):
+            pass
+
     def stop(self) -> None:
+        self.resume()
         try:
             self.proc.stdin.write("quit\n")
             self.proc.stdin.flush()
@@ -180,6 +204,17 @@ def main() -> None:
     print(f"workers ready: cores={hi} (cpus 0-{hi-1}), "
           f"cores={lo} (cpus {hi}-{hi+lo-1})", flush=True)
 
+    def measured(cores: int, what: str) -> dict:
+        """Run a command on one worker with the other SIGSTOPped — the
+        measuring level owns the memory subsystem, as it would on a real
+        cluster node."""
+        other = lo if cores == hi else hi
+        w[other].pause()
+        try:
+            return w[cores].cmd(what)
+        finally:
+            w[other].resume()
+
     rates: dict[int, list[float]] = {lo: [], hi: []}
     secs: dict[int, list[float]] = {lo: [], hi: []}
     pair_effs: list[float] = []
@@ -198,14 +233,14 @@ def main() -> None:
             round_rates: dict[int, list[float]] = {lo: [], hi: []}
             round_ceiling: dict[int, float] = {}
             for cores in (a, b):
-                res = w[cores].cmd("run")
+                res = measured(cores, "run")
                 round_rates[cores].append(res["events_per_sec"])
                 secs[cores].append(res["seconds"])
             for cores in (a, b):
-                c = w[cores].cmd("ceil")
+                c = measured(cores, "ceil")
                 round_ceiling[cores] = c["ceiling_scan_sec"]
             for cores in (a, b):
-                res = w[cores].cmd("run")
+                res = measured(cores, "run")
                 round_rates[cores].append(res["events_per_sec"])
                 secs[cores].append(res["seconds"])
             p_after = round(host_probe(), 1)
@@ -231,14 +266,25 @@ def main() -> None:
                 f"ceil_eff={ceiling_effs[-1]} probe_after={p_after:.0f}",
                 flush=True,
             )
+            # gate-eligible = canary-clean AND probe-healthy: the canary
+            # catches INSTABILITY within the round; a STEADY hypervisor cap
+            # passes the canary (round 9 of the 2026-08-17 record: ratios
+            # 1.035/1.086 yet hi uniformly slowed 30%, eff 0.598) but shows
+            # up as a depressed probe — each filter covers the other's
+            # blind spot
             round_clean = max(ratio.values()) <= args.canary_ratio
-            n_clean += int(round_clean)
+            best_so_far = max(max(p) for p in probes)
+            round_healthy = (
+                min(probes[-1]) >= args.healthy_frac * best_so_far
+            )
+            n_clean += int(round_clean and round_healthy)
             if args.target_clean and n_clean >= args.target_clean:
-                print(f"target of {args.target_clean} clean rounds reached",
+                print(f"target of {args.target_clean} gate rounds reached",
                       flush=True)
                 break
             if r < n_rounds - 1:
-                cd = args.cooldown if round_clean else args.dirty_cooldown
+                cd = (args.cooldown if round_clean and round_healthy
+                      else args.dirty_cooldown)
                 if cd:
                     time.sleep(cd)
     finally:
@@ -280,6 +326,19 @@ def main() -> None:
         "efficiency_median_canary_clean": (
             round(statistics.median(clean_effs), 3) if clean_effs else None
         ),
+        # THE gate metric: canary-clean AND probe-healthy (each filter
+        # covers the other's blind spot — see the loop comment)
+        "gate_rounds": sorted(set(clean) & set(healthy)),
+        "efficiency_median_gate": (
+            round(
+                statistics.median(
+                    [pair_effs[i] for i in set(clean) & set(healthy)]
+                ),
+                3,
+            )
+            if set(clean) & set(healthy)
+            else None
+        ),
         "ceiling_scan_efficiencies": [
             (round(e, 3) if e is not None else None) for e in ceiling_effs
         ],
@@ -303,6 +362,7 @@ def main() -> None:
         "affinity_pinned": True,
         "disjoint_pinning": True,
         "persistent_workers": True,
+        "idle_worker_paused": True,  # SIGSTOP during the other level's run
         "cooldown": args.cooldown,
         "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
