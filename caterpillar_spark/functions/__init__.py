@@ -73,9 +73,23 @@ def translate_text(
     stub. Certified CDC paths never call external services."""
     factory = client_factory or _StubTranslateClient
     # stable across pickling: the cache key must identify the FACTORY, not
-    # this closure (which re-pickles per query)
-    key = f"{getattr(factory, '__module__', '')}." + (
-        getattr(factory, "__qualname__", None) or repr(factory)
+    # this closure (which re-pickles per query) — and it must be
+    # collision-proof (ADVICE r3): two same-qualname closures over
+    # different endpoints/credentials must not share a client, so the key
+    # carries a content fingerprint of the pickled factory (computed once,
+    # driver-side; an unpicklable factory would fail at UDF ship time
+    # anyway, so the qualname-only fallback is a dead branch kept for
+    # safety).
+    try:
+        from pyspark import cloudpickle as _cp
+
+        _fp = hashlib.sha256(_cp.dumps(factory)).hexdigest()[:16]
+    except Exception:
+        _fp = "unpicklable"
+    key = (
+        f"{getattr(factory, '__module__', '')}."
+        + (getattr(factory, "__qualname__", None) or repr(factory))
+        + f":{_fp}"
     )
 
     @pandas_udf("string")

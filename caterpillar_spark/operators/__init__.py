@@ -26,6 +26,7 @@ def _load_all() -> None:
     keeps the circular dependency one-way: modules only need `register`,
     which is already defined)."""
     from caterpillar_spark.operators import (  # noqa: F401
+        compress,
         dedup,
         docs,
         multimodal,

@@ -217,8 +217,12 @@ class SnapshotTable:
             # snapshot() load, and a mismatched count mis-buckets them
             try:
                 self.snapshot()
-            except RuntimeError:
-                pass  # format-1 gate re-raises on first actual use
+            except (RuntimeError, FileNotFoundError, json.JSONDecodeError):
+                # format-1 gate / crashed-create leftovers (a _log dir with
+                # no loadable v*.json) / corrupt latest snapshot: defer —
+                # the first actual use re-raises, and create/repair flows
+                # stay able to construct the object (ADVICE r3)
+                pass
 
     # ------------------------------------------------------------- log io
     def _snap_path(self, v: int) -> str:

@@ -15,16 +15,113 @@ also keeps this testable in a network-less sandbox.
 For many INDEPENDENT urls (fan-out rather than pagination),
 ``fetch_distributed`` maps a url column through the fetch function inside
 ``mapInPandas`` — that path IS distributed, one partition per executor.
+
+Retry/backoff (``task/http/retry.go``) is :func:`with_retries` — pass
+``retry={"max_retries": 3}`` to either entry point, or wrap any fetch_fn
+yourself.
+
+OAuth (``task/http/oauth.go`` / ``oauth2.go``) maps onto the injectable
+``fetch_fn`` — auth is a property of the CLIENT, not the pagination loop.
+The documented recipe::
+
+    import requests
+
+    session = requests.Session()                     # or OAuth1Session /
+    session.headers["Authorization"] = f"Bearer {t}" # an oauthlib session
+
+    def fetch(ctx):
+        return session.get(ctx or FIRST_URL).json()
+
+    df = paginate(spark, fetch, records_fn, next_ctx_fn,
+                  retry={"max_retries": 3})
+
+Token refresh belongs inside ``fetch`` (requests-oauthlib does it
+automatically); signature schemes (OAuth1 HMAC) likewise live in the
+session object. Nothing in this module needs to know which scheme is in
+use — exactly why the fetch is injected.
 """
 
 from __future__ import annotations
 
 import json
-from collections.abc import Callable, Iterator
+import time
+from collections.abc import Callable, Iterator, Sequence
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+
+
+def with_retries(
+    fetch_fn: Callable[..., Any],
+    max_retries: int = 3,
+    retry_delay: float = 1.0,
+    expected_statuses: Sequence[int] = (200,),
+    status_fn: Callable[[Any], int] | None = None,
+    headers_fn: Callable[[Any], dict] | None = None,
+    sleep_fn: Callable[[float], None] = time.sleep,
+) -> Callable[..., Any]:
+    """Retry/backoff wrapper with the reference's HTTP retry semantics
+    (``internal/pkg/pipeline/task/http/retry.go:25-57``,
+    ``http.go:291-380``): ``max_retries`` TOTAL attempts; an attempt is
+    retried when ``fetch_fn`` raises (transport error) or, when
+    ``status_fn`` is given, returns a response whose status is not in
+    ``expected_statuses``. Backoff between attempts:
+
+    - status 429: honor a numeric ``Retry-After`` header (seconds) if
+      ``headers_fn`` exposes one; header present but unparseable -> no
+      sleep (the reference returns without sleeping); header absent ->
+      exponential ``2**attempt`` seconds;
+    - transport error / any other unexpected status: flat
+      ``retry_delay`` seconds.
+
+    ``sleep_fn`` is injectable so tests (and rate-limited drivers) never
+    actually sleep. Exhaustion re-raises the last error. The wrapper is
+    cloudpickle-friendly, so it composes with ``fetch_distributed``'s
+    executor-side kernels as well as ``paginate``'s driver loop.
+    """
+
+    def _backoff(attempt: int, resp: Any) -> None:
+        status = status_fn(resp) if (status_fn is not None and resp is not None) else -1
+        if status == 429:
+            hdrs = dict(headers_fn(resp) or {}) if headers_fn is not None else {}
+            ra = hdrs.get("Retry-After", hdrs.get("retry-after"))
+            if ra is not None and ra != "":
+                try:
+                    sleep_fn(float(ra))
+                except (TypeError, ValueError):
+                    pass  # unparseable header: retry immediately (ref parity)
+                return
+            sleep_fn(float(2**attempt))
+            return
+        sleep_fn(retry_delay)
+
+    def wrapped(*args: Any, **kwargs: Any) -> Any:
+        last_err: Exception | None = None
+        for attempt in range(1, max_retries + 1):
+            try:
+                resp = fetch_fn(*args, **kwargs)
+            except Exception as e:  # noqa: BLE001 — transport errors vary by client
+                last_err = e
+                if attempt < max_retries:
+                    _backoff(attempt, None)
+                    continue
+                raise
+            if status_fn is not None:
+                code = status_fn(resp)
+                if code not in expected_statuses:
+                    last_err = RuntimeError(
+                        f"unexpected http response code [{code}] "
+                        f"after {attempt} attempt(s)"
+                    )
+                    if attempt < max_retries:
+                        _backoff(attempt, resp)
+                        continue
+                    raise last_err
+            return resp
+        raise last_err  # pragma: no cover — loop always returns or raises
+
+    return wrapped
 
 
 def paginate(
@@ -35,6 +132,7 @@ def paginate(
     first_context: Any = None,
     max_pages: int = 100_000,
     schema: T.StructType | None = None,
+    retry: dict | None = None,
 ) -> DataFrame:
     """Follow a next-page-context pagination chain into one DataFrame.
 
@@ -48,7 +146,12 @@ def paginate(
     ``max_pages`` guards against a cyclic cursor (the reference loops
     forever on one). Records convert via JSON so nested structures survive;
     pass ``schema`` to pin types (otherwise inferred from the data).
+    ``retry`` (a :func:`with_retries` kwargs dict, e.g.
+    ``{"max_retries": 3, "retry_delay": 1.0}``) wraps ``fetch_fn`` with
+    the reference's retry/backoff behavior.
     """
+    if retry is not None:
+        fetch_fn = with_retries(fetch_fn, **retry)
     pages: list[str] = []
     ctx = first_context
     for _ in range(max_pages):
@@ -146,12 +249,18 @@ def fetch_distributed(
     fetch_fn: Callable[[str], dict],
     url_col: str = "url",
     out_schema: T.StructType | None = None,
+    retry: dict | None = None,
 ) -> DataFrame:
     """Fan-out fetch of INDEPENDENT urls (no pagination chain): each
     partition's urls are fetched inside an Arrow-batched ``mapInPandas``
     kernel — the distributed counterpart of the reference's http fan-out.
-    ``fetch_fn(url) -> dict`` must be picklable (top-level function)."""
+    ``fetch_fn(url) -> dict`` must be picklable (top-level function).
+    ``retry`` (a :func:`with_retries` kwargs dict) wraps ``fetch_fn``
+    executor-side — each url gets the reference's retry/backoff."""
     import pandas as pd
+
+    if retry is not None:
+        fetch_fn = with_retries(fetch_fn, **retry)
 
     schema = out_schema or T.StructType(
         [

@@ -70,11 +70,24 @@ def _match(pattern: str, path: str) -> bool:
         elif c == "?":
             rx.append("[^/]")
         elif c == "[":
-            j = pattern.find("]", i)
+            # fnmatch-style class scan: a ']' right after the (possibly
+            # negated) '[' is a literal member, not the terminator
+            k = i + 1
+            if k < n and pattern[k] in ("!", "^"):
+                k += 1
+            if k < n and pattern[k] == "]":
+                k += 1
+            j = pattern.find("]", k)
             if j == -1:
                 rx.append(re.escape(c))
             else:
-                rx.append(pattern[i : j + 1])
+                body = pattern[i + 1 : j]
+                # doublestar negation is '[!abc]' (also accepts '^'); in a
+                # Python regex '!' would be a literal member and silently
+                # select the OPPOSITE file set (ADVICE r3)
+                if body[:1] in ("!", "^"):
+                    body = "^" + body[1:]
+                rx.append("[" + body + "]")
                 i = j
         else:
             rx.append(re.escape(c))

@@ -45,6 +45,145 @@ def test_paginate_detects_cycle(spark):
         )
 
 
+# -------------------------------------------------------- retry/backoff
+# with_retries mirrors task/http/retry.go: 429 honors Retry-After,
+# transport errors sleep retry_delay, exhaustion re-raises. Injected
+# sleep records every backoff without actually sleeping.
+
+
+class _Flaky:
+    """fetch_fn double: raises / returns scripted responses in order."""
+
+    def __init__(self, script):
+        self.script = list(script)
+        self.calls = 0
+
+    def __call__(self, ctx=None):
+        self.calls += 1
+        step = self.script.pop(0)
+        if isinstance(step, Exception):
+            raise step
+        return step
+
+
+def test_retry_recovers_from_transient_failure():
+    from caterpillar_spark.sources.http import with_retries
+
+    slept = []
+    fn = _Flaky([ConnectionError("boom"), ConnectionError("boom"), {"ok": 1}])
+    wrapped = with_retries(fn, max_retries=3, retry_delay=1.5, sleep_fn=slept.append)
+    assert wrapped() == {"ok": 1}
+    assert fn.calls == 3
+    assert slept == [1.5, 1.5]  # flat retry_delay for transport errors
+
+
+def test_retry_429_honors_retry_after_header():
+    from caterpillar_spark.sources.http import with_retries
+
+    slept = []
+    resp_429 = {"status": 429, "headers": {"Retry-After": "7"}, "body": None}
+    resp_ok = {"status": 200, "headers": {}, "body": "done"}
+    fn = _Flaky([resp_429, resp_ok])
+    wrapped = with_retries(
+        fn,
+        max_retries=3,
+        status_fn=lambda r: r["status"],
+        headers_fn=lambda r: r["headers"],
+        sleep_fn=slept.append,
+    )
+    assert wrapped()["body"] == "done"
+    assert slept == [7.0]  # header value, not exponential
+
+
+def test_retry_429_without_header_backs_off_exponentially():
+    from caterpillar_spark.sources.http import with_retries
+
+    slept = []
+    r429 = {"status": 429, "headers": {}}
+    ok = {"status": 200, "headers": {}}
+    fn = _Flaky([r429, r429, ok])
+    wrapped = with_retries(
+        fn,
+        max_retries=3,
+        status_fn=lambda r: r["status"],
+        headers_fn=lambda r: r["headers"],
+        sleep_fn=slept.append,
+    )
+    wrapped()
+    assert slept == [2.0, 4.0]  # 2**attempt, attempt = 1, 2
+
+
+def test_retry_429_unparseable_header_retries_immediately():
+    from caterpillar_spark.sources.http import with_retries
+
+    slept = []
+    r429 = {"status": 429, "headers": {"Retry-After": "Wed, 21 Oct"}}
+    ok = {"status": 200, "headers": {}}
+    fn = _Flaky([r429, ok])
+    wrapped = with_retries(
+        fn,
+        max_retries=3,
+        status_fn=lambda r: r["status"],
+        headers_fn=lambda r: r["headers"],
+        sleep_fn=slept.append,
+    )
+    wrapped()
+    assert slept == []  # ref parity: present-but-unparseable -> no sleep
+
+
+def test_retry_exhaustion_raises_last_error():
+    from caterpillar_spark.sources.http import with_retries
+
+    slept = []
+    fn = _Flaky([OSError("a"), OSError("b"), OSError("c")])
+    wrapped = with_retries(fn, max_retries=3, sleep_fn=slept.append)
+    with pytest.raises(OSError, match="c"):
+        wrapped()
+    assert fn.calls == 3
+    assert len(slept) == 2  # no backoff after the final attempt
+
+    bad = {"status": 500, "headers": {}}
+    fn2 = _Flaky([bad, bad, bad])
+    slept.clear()
+    wrapped2 = with_retries(
+        fn2, max_retries=3, status_fn=lambda r: r["status"], sleep_fn=slept.append
+    )
+    with pytest.raises(RuntimeError, match="unexpected http response code"):
+        wrapped2()
+    assert fn2.calls == 3
+
+
+def test_paginate_with_retry_wrapper(spark):
+    """The retry= kwarg wires with_retries into the pagination loop."""
+    flaky_pages = _Flaky(
+        [
+            ConnectionError("cold start"),
+            PAGES[None],
+            PAGES["p2"],
+            ConnectionError("mid-chain blip"),
+            PAGES["p3"],
+        ]
+    )
+
+    def fetch(ctx):
+        return flaky_pages(ctx)
+
+    slept = []
+    df = paginate(
+        spark,
+        fetch_fn=fetch,
+        records_fn=lambda r: r["items"],
+        next_context_fn=lambda r: r["next"],
+        schema=T.StructType(
+            [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+        ),
+        retry={"max_retries": 3, "retry_delay": 0.5, "sleep_fn": slept.append},
+    )
+    rows = sorted((r["id"], r["v"]) for r in df.collect())
+    assert rows == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+    assert slept == [0.5, 0.5]
+
+
 # ---------------------------------------------------------------- xlsx
 def test_read_excel_or_clean_gate(spark, tmp_path):
     from caterpillar_spark.sources.xlsx import read_excel

@@ -122,6 +122,32 @@ def test_translate_text_injectable_client(spark):
     assert {r["t"] for r in got2} == {"es->en:HOLA", None}
 
 
+def test_translate_text_distinct_factories_same_qualname(spark):
+    """ADVICE r3: the per-worker client cache is keyed by a content
+    fingerprint of the pickled factory, not just its qualname — two
+    same-named closures over different configs (endpoints, credentials,
+    tags) must each get their OWN client, even in a reused worker."""
+    from caterpillar_spark.functions import translate_text
+
+    def make_factory(tag):
+        class Client:
+            def translate(self, text, source_lang, target_lang):
+                return f"{tag}:{text}"
+
+        return Client
+
+    fa, fb = make_factory("A"), make_factory("B")
+    assert fa.__qualname__ == fb.__qualname__  # the collision ADVICE describes
+    df = spark.createDataFrame([("x",)], ["s"])
+    ta = df.select(
+        translate_text("s", "es", "en", client_factory=fa).alias("t")
+    ).collect()[0]["t"]
+    tb = df.select(
+        translate_text("s", "es", "en", client_factory=fb).alias("t")
+    ).collect()[0]["t"]
+    assert (ta, tb) == ("A:x", "B:x")
+
+
 def test_rsa_signing_verifies(spark):
     """Signatures must verify against the public key and be deterministic
     (PKCS#1 v1.5, like Go's SignPKCS1v15 in the reference's crypto fns)."""

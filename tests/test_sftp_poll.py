@@ -132,6 +132,15 @@ def test_doublestar_match_rules():
     assert _match("a/**/*.csv", "a/x.csv")  # ** matches zero dirs
     assert _match("a/file?.txt", "a/file1.txt")
     assert not _match("a/file?.txt", "a/file/x.txt")
+    # character classes, incl. doublestar's [!...] negation (ADVICE r3:
+    # '!' must become regex '^', not a literal member)
+    assert _match("a/file[0-3].txt", "a/file2.txt")
+    assert not _match("a/file[0-3].txt", "a/file7.txt")
+    assert _match("a/file[!0-3].txt", "a/file7.txt")
+    assert not _match("a/file[!0-3].txt", "a/file2.txt")  # the old bug:
+    # pre-fix, '[!0-3]' was a literal class {'!','0'..'3'} and matched '2'
+    assert _match("a/file[^0-3].txt", "a/file7.txt")  # '^' alias
+    assert _match("a/x[]].txt", "a/x].txt")  # leading ']' is literal
 
 
 # ------------------------------------------------------------------ poll

