@@ -86,6 +86,11 @@ class Worker:
     def __init__(self, cores: int, cpu_offset: int, events: int,
                  chunks: int, tmpfs: bool):
         self.cores = cores
+        self._spawn_args = (cores, cpu_offset, events, chunks, tmpfs)
+        self._spawn()
+
+    def _spawn(self) -> None:
+        cores, cpu_offset, events, chunks, tmpfs = self._spawn_args
         cmd = [
             sys.executable, "/root/repo/tools/scaling_worker.py",
             "--cores", str(cores), "--cpu-offset", str(cpu_offset),
@@ -93,13 +98,27 @@ class Worker:
         ]
         if tmpfs:
             cmd.append("--tmpfs")
+        # stderr to a file, NOT devnull: a 20M/1-chunk record lost its
+        # 4-core worker mid-round with zero diagnostics — the death cause
+        # (JVM OOM vs host kill) must be readable afterwards
+        self._errlog = open(f"/tmp/scaling_worker_{cores}.err", "ab")
         self.proc = subprocess.Popen(
             cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
-            stderr=subprocess.DEVNULL, text=True, bufsize=1,
+            stderr=self._errlog, text=True, bufsize=1,
             # own session => pause()/resume() can SIGSTOP the whole tree
             # (python + its JVM) without touching the orchestrator
             start_new_session=True,
         )
+
+    def restart(self) -> None:
+        """Replace a dead worker with a fresh one (re-warms, re-caches) —
+        a mid-record JVM death costs one round, not the whole record."""
+        try:
+            self.proc.kill()
+        except Exception:
+            pass
+        self._spawn()
+        self.wait_ready()
 
     def _read(self) -> dict:
         while True:
@@ -232,17 +251,32 @@ def main() -> None:
             # duplicates bracket the other level's runs AND the ceilings
             round_rates: dict[int, list[float]] = {lo: [], hi: []}
             round_ceiling: dict[int, float] = {}
-            for cores in (a, b):
-                res = measured(cores, "run")
-                round_rates[cores].append(res["events_per_sec"])
-                secs[cores].append(res["seconds"])
-            for cores in (a, b):
-                c = measured(cores, "ceil")
-                round_ceiling[cores] = c["ceiling_scan_sec"]
-            for cores in (a, b):
-                res = measured(cores, "run")
-                round_rates[cores].append(res["events_per_sec"])
-                secs[cores].append(res["seconds"])
+            secs_mark = {c: len(secs[c]) for c in (lo, hi)}
+            try:
+                for cores in (a, b):
+                    res = measured(cores, "run")
+                    round_rates[cores].append(res["events_per_sec"])
+                    secs[cores].append(res["seconds"])
+                for cores in (a, b):
+                    c = measured(cores, "ceil")
+                    round_ceiling[cores] = c["ceiling_scan_sec"]
+                for cores in (a, b):
+                    res = measured(cores, "run")
+                    round_rates[cores].append(res["events_per_sec"])
+                    secs[cores].append(res["seconds"])
+            except RuntimeError as e:
+                # a worker JVM died mid-round (see /tmp/scaling_worker_*.err)
+                # — drop this round's partial samples, restart the dead
+                # worker(s), and keep the record going
+                print(f"round {r} ABORTED: {e}; restarting worker", flush=True)
+                for c in (lo, hi):
+                    del secs[c][secs_mark[c]:]  # drop the partial samples
+                for worker in w.values():
+                    worker.resume()
+                    if worker.proc.poll() is not None:
+                        worker.restart()
+                time.sleep(args.dirty_cooldown)
+                continue
             p_after = round(host_probe(), 1)
             probes.append([p_before, p_after])
 

@@ -47,7 +47,16 @@ def main() -> None:
     )
     os.chdir("/root/repo")
     os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
-    extra = {}
+    extra = {
+        # this worker gets SIGSTOPped for the whole duration of the other
+        # level's replay (up to several minutes at large --events). Spark's
+        # default 120s network timeout / heartbeat window expires during
+        # the freeze and the resumed JVM kills itself — seen as a silent
+        # worker death on the first 20M/1-chunk record. The pause is the
+        # harness's design, so the timeouts must outlast it.
+        "spark.network.timeout": "3600s",
+        "spark.executor.heartbeatInterval": "600s",
+    }
     if args.tmpfs:
         os.makedirs("/dev/shm/caterpillar_scaling", exist_ok=True)
         os.environ["SPARK_GRAFT_BENCH_CACHE"] = "/tmp/caterpillar_bench"
