@@ -80,6 +80,8 @@ def with_retries(
     cloudpickle-friendly, so it composes with ``fetch_distributed``'s
     executor-side kernels as well as ``paginate``'s driver loop.
     """
+    if max_retries < 1:
+        raise ValueError(f"max_retries must be >= 1, got {max_retries}")
 
     def _backoff(attempt: int, resp: Any) -> None:
         status = status_fn(resp) if (status_fn is not None and resp is not None) else -1

@@ -86,7 +86,10 @@ def _match(pattern: str, path: str) -> bool:
                 # Python regex '!' would be a literal member and silently
                 # select the OPPOSITE file set (ADVICE r3)
                 if body[:1] in ("!", "^"):
-                    body = "^" + body[1:]
+                    # the negated set must still exclude '/': doublestar
+                    # classes never match the path separator, but a bare
+                    # regex [^y] would (ADVICE r4)
+                    body = "^/" + body[1:]
                 rx.append("[" + body + "]")
                 i = j
         else:

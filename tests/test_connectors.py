@@ -153,6 +153,15 @@ def test_retry_exhaustion_raises_last_error():
     assert fn2.calls == 3
 
 
+def test_retry_rejects_nonpositive_max_retries():
+    """ADVICE r4: max_retries=0 used to fall through to `raise None`."""
+    from caterpillar_spark.sources.http import with_retries
+
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="max_retries"):
+            with_retries(lambda: None, max_retries=bad)
+
+
 def test_paginate_with_retry_wrapper(spark):
     """The retry= kwarg wires with_retries into the pagination loop."""
     flaky_pages = _Flaky(

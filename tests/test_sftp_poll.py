@@ -141,6 +141,11 @@ def test_doublestar_match_rules():
     # pre-fix, '[!0-3]' was a literal class {'!','0'..'3'} and matched '2'
     assert _match("a/file[^0-3].txt", "a/file7.txt")  # '^' alias
     assert _match("a/x[]].txt", "a/x].txt")  # leading ']' is literal
+    # ADVICE r4: a negated class must still exclude the path separator —
+    # doublestar classes never match '/', so 'a/x[!y]z' must NOT match
+    # the three-segment path 'a/x/z'
+    assert not _match("a/x[!y]z", "a/x/z")
+    assert _match("a/x[!y]z", "a/xQz")
 
 
 # ------------------------------------------------------------------ poll

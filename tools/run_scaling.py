@@ -101,6 +101,11 @@ class Worker:
         # stderr to a file, NOT devnull: a 20M/1-chunk record lost its
         # 4-core worker mid-round with zero diagnostics — the death cause
         # (JVM OOM vs host kill) must be readable afterwards
+        if getattr(self, "_errlog", None) is not None:
+            try:
+                self._errlog.close()
+            except Exception:
+                pass
         self._errlog = open(f"/tmp/scaling_worker_{cores}.err", "ab")
         self.proc = subprocess.Popen(
             cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
@@ -134,8 +139,16 @@ class Worker:
         assert msg["kind"] == "ready", msg
 
     def cmd(self, what: str) -> dict:
-        self.proc.stdin.write(what + "\n")
-        self.proc.stdin.flush()
+        # a worker that died while SIGSTOPped surfaces here as a
+        # BrokenPipeError on the write, not an EOF on the read — normalize
+        # both to RuntimeError so the round loop's recovery path fires
+        try:
+            self.proc.stdin.write(what + "\n")
+            self.proc.stdin.flush()
+        except OSError as e:
+            raise RuntimeError(
+                f"worker cores={self.cores} died (stdin: {e})"
+            ) from e
         return self._read()
 
     def pause(self) -> None:
@@ -264,7 +277,7 @@ def main() -> None:
                     res = measured(cores, "run")
                     round_rates[cores].append(res["events_per_sec"])
                     secs[cores].append(res["seconds"])
-            except RuntimeError as e:
+            except (RuntimeError, OSError) as e:
                 # a worker JVM died mid-round (see /tmp/scaling_worker_*.err)
                 # — drop this round's partial samples, restart the dead
                 # worker(s), and keep the record going
