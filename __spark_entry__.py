@@ -459,11 +459,12 @@ def q_ann_lsh_multitable(spark, sf_dir):
 
 
 def q_ann_ivf_kmeans(spark, sf_dir):
-    """IVF with the seeded deterministic k-means quantizer (rows-only:
-    Lloyd's iterations are a driver loop of Spark jobs — not one SQL
-    statement; correctness is pinned by tests/test_similarity.py's
-    determinism + fair-recall tests against the oracle-checked exact
-    top-k)."""
+    """IVF with the seeded deterministic k-means quantizer — HASH-VERIFIED
+    since r5: training is bit-stable (codebook components quantized to 6
+    decimals, so shuffle fetch order cannot perturb them), and the DuckDB
+    twin consumes the trained sf0.01 codebook as inlined VALUES literals
+    (_ivf_kmeans_cent_sql) and reproduces assignment + re-rank exactly —
+    the _srp_bucket_sql technique applied to an iterative quantizer."""
     from caterpillar_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -896,11 +897,43 @@ _H64 = "CAST('0x' || substring(md5({x}), 1, 15) AS BIGINT)"
 
 def _h64_py(s: str) -> int:
     """Python twin of shared_hash64 (md5 first-15-hex-digits as int) — used
-    to inline SRP hyperplane CONSTANTS into oracle SQL, identical to what
-    Spark's expression folds to."""
-    import hashlib
+    to inline pseudo-random CONSTANTS into oracle SQL, identical to what
+    Spark's expression folds to. Shared with the engine since r5:
+    operators.similarity builds its SRP hyperplanes from the same helper."""
+    from caterpillar_spark.functions import h64_py
 
-    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+    return h64_py(s)
+
+
+# The seeded k-means codebook trained on the sf0.01 embeddings table
+# (kmeans_centroids(emb, 8): seed init by shared_hash64(id), 5 Lloyd
+# iterations, mean components quantized to 6 decimals — the quantization
+# is what makes the codebook bit-stable across shuffle fetch orders, so
+# these literals reproduce EXACTLY when the driver re-trains at query
+# time). Drift guard: tests/test_similarity.py retrains and asserts
+# equality. Generated below — see @GENERATED-SF001-CENTROIDS.
+_IVF_KMEANS_CENT_SF001: list = [
+    (0, [0.018174, 0.017755, -0.040676, 0.002273, 0.012154, 0.031469, -0.028146, -0.02491, -0.060051, 0.001871, 0.029328, 0.048756, 0.065449, -0.041171, 0.002209, -0.026709, -0.017226, 0.004731, 0.018323, -0.027727, 0.009567, 0.015237, -0.056435, -0.010779, 0.049255, 0.074609, -0.012026, -0.014344, 0.011456, 0.038075, -0.016543, -0.015137, 0.049604, -0.013728, -0.052896, 0.023236, -0.022633, -0.026801, 0.026388, -0.08703, 0.021773, -0.050422, -0.050155, -0.050702, -0.003811, 0.026162, -0.034197, 0.000421, -0.010197, -0.074424, 0.009189, -0.026655, -0.019312, 0.004153, -0.036984, -0.016269, 0.049144, 0.013761, 0.03666, 0.006558, 0.042137, 0.000634, -0.059381, -0.010175]),
+    (1, [0.001892, -0.001205, 0.004086, 0.023603, -0.00033, 0.039111, -0.0032, 0.108058, -0.017599, -0.027129, 0.0065, -0.03283, -0.019073, -0.023895, -0.058592, 0.001742, 0.002228, -0.061099, -0.033579, 0.036511, -0.06843, -0.030274, 0.013288, 0.002416, -0.023582, 0.012082, -0.018774, -0.000337, 0.010779, -0.035389, 0.043853, 0.01112, 0.01936, 0.007078, 0.055836, 0.055128, -0.054813, 0.044753, -0.017811, 0.074098, -0.041827, -0.002781, -0.017152, 0.011721, -0.054006, -0.001375, -0.047271, 0.018755, -0.007462, 0.027368, 0.036437, -0.018668, 0.004988, 0.00117, 0.024303, -0.081779, 0.023233, -0.005627, 0.004845, -0.052417, -0.037993, -0.007077, -0.005485, -0.033589]),
+    (2, [0.012943, 0.005539, 0.031182, 0.034905, -0.010644, 0.072016, 0.018229, -0.014117, -0.011752, 0.069378, 0.031521, 0.084781, -0.02765, 0.011222, 0.008063, 0.019662, 0.045835, 0.026349, -0.02276, -0.037745, -0.0355, -0.01706, -0.000389, -0.018647, 0.001403, 0.006489, 0.00866, 0.026209, 0.04709, -0.057894, 0.052981, -0.029795, -0.015115, -0.039821, -0.01361, 0.026229, -0.006332, -0.045741, 0.007601, -0.015764, 0.010537, 0.016592, 0.010424, -0.006245, -0.002209, -0.060638, 0.002918, 0.096022, -0.017472, 0.023818, -0.02512, 0.001298, 0.031729, -0.018121, 0.026997, 0.05412, -0.021926, 0.004343, -0.044237, -0.086249, -0.028143, -0.000855, -0.031853, -0.011555]),
+    (3, [0.015066, -0.006751, 0.004143, -0.002131, 0.047452, 0.014781, -0.022011, 0.024241, -0.002891, 0.02383, 0.053087, -0.011353, -0.04189, 0.019025, 0.019399, 0.023994, 0.013965, 0.03493, 0.000695, -0.004045, 0.004327, -0.013596, -0.000949, 0.066333, -0.024888, -0.027579, 0.000316, 0.030739, -0.003587, 0.029841, -0.012513, -0.044655, 0.011836, 0.016698, 0.010729, -0.010659, -0.013261, 0.039164, 0.019063, 0.04875, -0.094279, -0.000884, -0.00022, 0.021337, 0.013624, -0.032595, 0.033904, -0.008711, 0.054782, -0.058401, 0.062813, 0.008794, -0.043755, 0.007682, -0.002635, 0.045343, -0.019619, 0.03324, -0.005861, 0.035139, 0.046344, -0.03261, 0.001917, 0.048971]),
+    (4, [-0.004293, 0.061293, -0.010444, -0.026633, 0.001382, -0.004876, -0.02489, -0.031882, 0.016308, -0.065107, -0.020246, -0.03096, -0.002678, 0.051648, -0.006979, -0.003659, 0.050133, 0.011292, 0.003439, -0.004413, 0.031141, -0.004952, 0.071095, -0.082596, 0.025884, -0.020068, 0.010754, 0.00323, -0.072744, -0.015462, -0.024414, -0.001505, -0.047289, -0.040095, -0.02152, -0.017089, 0.042223, 0.034737, 0.017802, -0.032337, 0.005382, 0.046455, -0.025141, -0.020884, 0.000882, 0.005683, 0.007963, -0.017504, -0.030759, -0.005446, -0.024199, -0.034137, -0.015777, 0.007378, 0.052651, -0.050844, -0.004236, 0.001676, -0.040857, 0.014592, 0.0007, -0.002113, 0.077932, -0.027551]),
+    (5, [-0.047473, -0.086463, -0.004459, -0.009478, 0.060737, 0.029506, -0.065022, 0.01358, 0.026654, 0.016158, -0.0345, 0.010523, 0.000268, -0.044677, 0.024099, 0.010566, -0.00447, -0.02897, 0.016936, -0.021794, 0.043797, 0.010107, 0.037541, -0.043499, -0.048789, 0.080845, 0.021719, 0.00368, -0.007677, -0.047444, 0.010631, 0.032267, 0.02893, -0.001466, 0.061113, -0.101593, -0.021426, -0.000886, 0.020859, -0.002892, 0.001275, -0.026727, 0.021238, 0.001999, 0.014382, 0.03112, -0.005375, 0.01709, -0.009987, -0.013457, -0.040265, 0.026338, -0.0168, -0.010185, -0.052921, -0.020986, 0.007926, 0.016131, 0.057207, 0.033944, -0.048698, 0.067635, -0.005048, -0.057103]),
+    (6, [0.008426, -0.029183, 0.026522, -0.017298, 0.006438, -0.065917, -0.014127, 0.040367, 0.019529, 0.006383, -0.025717, -0.02089, -0.013347, -0.006134, 0.034705, 0.023252, -0.016952, -0.021256, 0.032681, 0.026754, -0.02859, -0.03107, -0.034068, 0.024134, 0.01671, 0.000794, -0.029206, 0.056832, 0.016523, 0.039023, 0.033295, 0.047396, 0.001876, 0.016441, -0.007061, 0.006245, 0.020708, -0.012916, -0.073255, -0.02009, 0.041517, -0.025962, 0.027545, 0.055942, -0.06683, 0.026237, 0.031415, -0.0552, -0.037607, 0.012242, 0.031288, 0.02429, 0.055873, -0.00482, 0.01396, 0.003848, 0.023949, -0.041026, -0.072944, -0.015161, 0.015558, 0.000143, -0.007879, 0.000327]),
+    (7, [0.008435, 0.003918, 0.020547, -0.047103, -0.045765, -0.05024, -0.007159, -0.054822, 0.011685, -0.037269, 0.008223, -0.0185, 0.025248, 0.054905, -0.033994, -0.00642, -0.050056, 0.088984, -0.026534, 0.042959, 0.020091, 0.107775, 0.013416, -0.018585, -0.014999, -0.020719, 0.012365, -0.03408, -0.015598, 0.044978, -0.049299, -0.052056, 0.018071, -0.004605, 0.013447, 0.026209, 0.012668, -0.053776, -0.00017, 0.026648, 0.052769, -0.053794, 0.038394, -0.030278, 0.014521, 0.041491, -0.001795, 0.007691, 0.029346, 0.012831, 0.012917, 0.004324, 0.071246, -0.022352, 0.011755, 0.035398, -0.024436, -0.045344, 0.041705, -0.009433, -0.003259, 0.02421, 0.025597, -0.028307]),
+]  # @GENERATED-SF001-CENTROIDS
+
+
+def _ivf_kmeans_cent_sql() -> str:
+    """VALUES CTE body exposing the trained sf0.01 codebook to DuckDB as
+    (cid, cv double[]) — the _srp_bucket_sql technique applied to the
+    k-means quantizer: the iterative training happens in Spark (seeded,
+    bit-stable), the oracle consumes its output as constants."""
+    rows = ", ".join(
+        f"({cid}, [{', '.join(repr(x) for x in vec)}]::DOUBLE[])"
+        for cid, vec in _IVF_KMEANS_CENT_SF001
+    )
+    return f"(VALUES {rows}) AS t(cid, cv)"
 
 
 def _srp_bucket_sql(n_planes: int = 4, dim: int = 64, seed: int = 42) -> str:
@@ -908,13 +941,14 @@ def _srp_bucket_sql(n_planes: int = 4, dim: int = 64, seed: int = 42) -> str:
     float list. The projection is an explicit left-associated sum (NOT
     list_dot_product) so the floating-point accumulation order matches
     Spark's sequential F.aggregate exactly — the bucket id is a discrete
-    value, so last-ulp divergence would flip candidates."""
+    value, so last-ulp divergence would flip candidates. The plane
+    constants come from the SAME function the Spark plan embeds
+    (similarity.srp_plane_component), so the two sides cannot drift."""
+    from caterpillar_spark.operators.similarity import srp_plane_component
+
     terms = []
     for p in range(n_planes):
-        plane = [
-            (_h64_py(f"srp:{seed}:{p}:{d}") % 2_000_001 - 1_000_000) / 1_000_000.0
-            for d in range(dim)
-        ]
+        plane = [srp_plane_component(seed, p, d) for d in range(dim)]
         proj = " + ".join(
             f"CAST(embedding[{d + 1}] AS DOUBLE) * {c!r}"
             for d, c in enumerate(plane)
@@ -1402,6 +1436,58 @@ def oracle_sql() -> dict[str, str]:
             ) AS rank FROM scored
           ) WHERE rank <= 5
         """,
+        # same assignment + re-rank as ann_ivf_topk, but the coarse
+        # quantizer is the TRAINED k-means codebook, inlined as VALUES
+        # literals (bit-stable training: see _IVF_KMEANS_CENT_SF001)
+        "ann_ivf_kmeans": f"""
+          WITH cent AS (
+            SELECT cid, cv FROM {_ivf_kmeans_cent_sql()}
+          ), c AS (
+            SELECT vec_id AS neighbor_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+          ), ca AS (
+            SELECT neighbor_id, v, cid FROM (
+              SELECT neighbor_id, v, cid, row_number() OVER (
+                PARTITION BY neighbor_id ORDER BY sim DESC, cid ASC) AS rn
+              FROM (
+                SELECT neighbor_id, v, cid,
+                       round(list_dot_product(v, cv)
+                             / (sqrt(list_dot_product(v, v))
+                                * sqrt(list_dot_product(cv, cv))), 6) AS sim
+                FROM c, cent)
+            ) WHERE rn = 1
+          ), q AS (
+            SELECT vec_id AS query_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+            FROM embeddings WHERE vec_id < 5
+          ), qp AS (
+            SELECT query_id, qv, cid FROM (
+              SELECT query_id, qv, cid, row_number() OVER (
+                PARTITION BY query_id ORDER BY sim DESC, cid ASC) AS rn
+              FROM (
+                SELECT query_id, qv, cid,
+                       round(list_dot_product(qv, cv)
+                             / (sqrt(list_dot_product(qv, qv))
+                                * sqrt(list_dot_product(cv, cv))), 6) AS sim
+                FROM q, cent)
+            ) WHERE rn <= 2
+          ), scored AS (
+            SELECT query_id, neighbor_id,
+                   round(list_dot_product(qv, v)
+                         / (sqrt(list_dot_product(qv, qv))
+                            * sqrt(list_dot_product(v, v))), 6) AS cos_sim
+            FROM ca JOIN qp USING (cid)
+            WHERE neighbor_id <> query_id
+          )
+          SELECT query_id, neighbor_id, cos_sim,
+                 CAST(rank AS INTEGER) AS rank
+          FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+            ) AS rank FROM scored
+          ) WHERE rank <= 5
+        """,
         "dedup_embedding_cosine": f"""
           WITH e AS (
             SELECT vec_id AS id,
@@ -1515,10 +1601,9 @@ def oracle_sql() -> dict[str, str]:
         # over shared input is cdc_replay_events), hmac_sha256/512/md5 and
         # rsa_sha256 (no HMAC/RSA in DuckDB; pytest-verified vs hashlib /
         # public-key verify), sample_percent / sample_random (seeded
-        # engine RNG not reproducible cross-engine), ann_ivf_kmeans
-        # (Lloyd's iterations are a driver loop of Spark jobs, not one SQL
-        # statement; determinism + fair recall pinned by
-        # tests/test_similarity.py against the oracle-checked exact top-k)
+        # engine RNG not reproducible cross-engine). ann_ivf_kmeans is
+        # hash-verified since r5: the bit-stable trained codebook is
+        # inlined into its SQL twin as literals.
     }
 
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from caterpillar_spark.functions import shared_hash64
+from caterpillar_spark.functions import h64_py, shared_hash64
 from caterpillar_spark.operators import register
 
 
@@ -70,23 +70,36 @@ def cosine_topk(
     )
 
 
+def srp_plane_component(seed: int, plane: int, d: int) -> float:
+    """Hyperplane component (plane, d): a deterministic pseudo-random
+    double in [-1, 1) from the shared md5 hash — no RNG, so bucket
+    assignment is stable across runs and engines. Computed DRIVER-SIDE
+    (h64_py is bit-identical to what Catalyst folds the equivalent
+    shared_hash64 expression to) and emitted as a plain literal: the
+    folded-expression form built ~37k md5 expression nodes per plan at
+    dim=768 / 24 planes / 2 tables — pure planner tax (VERDICT r4)."""
+    return (h64_py(f"srp:{seed}:{plane}:{d}") % 2_000_001 - 1_000_000) / 1_000_000.0
+
+
 def _srp_bucket(vec: Column, n_planes: int, dim: int, seed: int = 42) -> Column:
-    """Sign-random-projection bucket id. Hyperplane component (p, d) is a
-    deterministic pseudo-random value in [-1, 1) from shared_hash64 — no
-    RNG, so bucket assignment is stable across runs and engines."""
+    """Sign-random-projection bucket id over literal hyperplanes (see
+    :func:`srp_plane_component` for why the constants are driver-computed)."""
     bucket = F.lit(0).cast("long")
+    vecd = F.transform(vec, lambda x: x.cast("double"))
     for p in range(n_planes):
-        comps = F.array(
-            *[
-                (
-                    shared_hash64(F.lit(f"srp:{seed}:{p}:{d}")) % 2_000_001
-                    - 1_000_000
-                ).cast("double")
-                / 1_000_000.0
-                for d in range(dim)
-            ]
+        # one JVM-parsed array<double> literal per plane: F.lit(list)
+        # expands to dim scalar lit() py4j calls (~37k round-trips at
+        # production width — the r4 finding's real cost), while a single
+        # SQL string is one round-trip. repr() round-trips doubles
+        # exactly; the D suffix keeps ANSI mode from parsing DECIMAL.
+        comps = F.expr(
+            "array("
+            + ",".join(
+                repr(srp_plane_component(seed, p, d)) + "D" for d in range(dim)
+            )
+            + ")"
         )
-        proj = _dot(F.transform(vec, lambda x: x.cast("double")), comps)
+        proj = _dot(vecd, comps)
         bucket = bucket + F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0))
     return bucket
 
@@ -206,6 +219,13 @@ def kmeans_centroids(
       centroids, same join ivf_topk uses) + an element-wise mean
       (posexplode → groupBy (cid, pos) avg — a hash agg with map-side
       combine, never a collect of vectors);
+    - each mean component is ROUNDED to 6 decimals (codebook
+      quantization): a raw double ``avg`` is order-dependent at the ulp
+      level under Spark's nondeterministic shuffle fetch order, so the
+      rounding is what makes the trained codebook BIT-STABLE across runs
+      — which in turn lets an oracle inline the trained centroids as SQL
+      literals (r5) and costs nothing at 6-decimal cosine re-rank
+      precision;
     - centroids collect to the driver per iteration — K×dim doubles,
       metadata-sized at any corpus scale;
     - an emptied cluster keeps its previous vector (standard
@@ -253,7 +273,7 @@ def kmeans_centroids(
                 "cid", F.posexplode(F.col("v")).alias("pos", "x")
             )
             .groupBy("cid", "pos")
-            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("m"))
             .groupBy("cid")
             .agg(
                 F.array_sort(
