@@ -20,25 +20,14 @@ Retry/backoff (``task/http/retry.go``) is :func:`with_retries` — pass
 ``retry={"max_retries": 3}`` to either entry point, or wrap any fetch_fn
 yourself.
 
-OAuth (``task/http/oauth.go`` / ``oauth2.go``) maps onto the injectable
-``fetch_fn`` — auth is a property of the CLIENT, not the pagination loop.
-The documented recipe::
-
-    import requests
-
-    session = requests.Session()                     # or OAuth1Session /
-    session.headers["Authorization"] = f"Bearer {t}" # an oauthlib session
-
-    def fetch(ctx):
-        return session.get(ctx or FIRST_URL).json()
-
-    df = paginate(spark, fetch, records_fn, next_ctx_fn,
-                  retry={"max_retries": 3})
-
-Token refresh belongs inside ``fetch`` (requests-oauthlib does it
-automatically); signature schemes (OAuth1 HMAC) likewise live in the
-session object. Nothing in this module needs to know which scheme is in
-use — exactly why the fetch is injected.
+OAuth (``task/http/oauth.go`` / ``oauth1.go`` / ``oauth2.go``) maps onto
+the injectable ``fetch_fn`` — auth is a property of the CLIENT, not the
+pagination loop. The executable helpers live in
+:mod:`caterpillar_spark.sources.oauth`: ``oauth_fetch`` (Bearer attach +
+expiry cache + refresh-on-401, composes with :func:`with_retries`),
+``jwt_bearer_token_fn`` (the OAuth2 JWT-bearer grant), and
+``oauth1_header`` (HMAC-SHA256 request signing). Nothing in this module
+needs to know which scheme is in use — exactly why the fetch is injected.
 """
 
 from __future__ import annotations

@@ -162,6 +162,246 @@ def test_retry_rejects_nonpositive_max_retries():
             with_retries(lambda: None, max_retries=bad)
 
 
+# ---------------------------------------------------------------- oauth
+# oauth.py mirrors task/http/oauth{,1,2}.go: Bearer attach + refresh,
+# JWT-bearer token grant, OAuth1 HMAC-SHA256 request signing.
+
+
+class _AuthedFetch:
+    """fetch_fn double recording the authorization kwarg per call and
+    returning scripted statuses."""
+
+    def __init__(self, statuses):
+        self.statuses = list(statuses)
+        self.auths = []
+
+    def __call__(self, ctx=None, authorization=None):
+        self.auths.append(authorization)
+        return {"status": self.statuses.pop(0), "ctx": ctx}
+
+
+def test_oauth_fetch_attaches_and_caches_bearer_token():
+    from caterpillar_spark.sources.oauth import oauth_fetch
+
+    tokens = iter(["tok-1", "tok-2"])
+    calls = []
+
+    def token_fn():
+        t = next(tokens)
+        calls.append(t)
+        return t
+
+    fetch = _AuthedFetch([200, 200, 200])
+    wrapped = oauth_fetch(fetch, token_fn, status_fn=lambda r: r["status"])
+    for _ in range(3):
+        assert wrapped("u")["status"] == 200
+    # one token fetch serves all three requests
+    assert calls == ["tok-1"]
+    assert fetch.auths == ["Bearer tok-1"] * 3
+
+
+def test_oauth_fetch_refreshes_on_expiry():
+    from caterpillar_spark.sources.oauth import oauth_fetch
+
+    clock = {"t": 100.0}
+    issued = []
+
+    def token_fn():
+        issued.append(clock["t"])
+        return (f"tok@{clock['t']}", clock["t"] + 60)  # 60s lifetime
+
+    fetch = _AuthedFetch([200] * 4)
+    wrapped = oauth_fetch(
+        fetch, token_fn, status_fn=lambda r: r["status"], now_fn=lambda: clock["t"]
+    )
+    wrapped()
+    clock["t"] = 130.0  # still valid
+    wrapped()
+    clock["t"] = 161.0  # past expires_at=160
+    wrapped()
+    wrapped()
+    assert issued == [100.0, 161.0]
+    assert fetch.auths == [
+        "Bearer tok@100.0",
+        "Bearer tok@100.0",
+        "Bearer tok@161.0",
+        "Bearer tok@161.0",
+    ]
+
+
+def test_oauth_fetch_refreshes_once_on_401():
+    from caterpillar_spark.sources.oauth import oauth_fetch
+
+    tokens = iter(["stale", "fresh", "never"])
+    fetch = _AuthedFetch([401, 200])
+    wrapped = oauth_fetch(fetch, lambda: next(tokens), status_fn=lambda r: r["status"])
+    assert wrapped()["status"] == 200
+    assert fetch.auths == ["Bearer stale", "Bearer fresh"]
+
+    # a second consecutive 401 is returned, not looped
+    fetch2 = _AuthedFetch([401, 401])
+    tokens2 = iter(["a", "b", "c"])
+    wrapped2 = oauth_fetch(fetch2, lambda: next(tokens2), status_fn=lambda r: r["status"])
+    assert wrapped2()["status"] == 401
+    assert fetch2.auths == ["Bearer a", "Bearer b"]
+
+
+def test_oauth_fetch_composes_with_retries():
+    """with_retries OUTSIDE oauth_fetch: a transient 500 retries through
+    the auth path; a 401 mid-retry refreshes the token."""
+    from caterpillar_spark.sources.http import with_retries
+    from caterpillar_spark.sources.oauth import oauth_fetch
+
+    tokens = iter(["t1", "t2"])
+    fetch = _AuthedFetch([500, 401, 200])
+    authed = oauth_fetch(fetch, lambda: next(tokens), status_fn=lambda r: r["status"])
+    slept = []
+    wrapped = with_retries(
+        authed,
+        max_retries=3,
+        status_fn=lambda r: r["status"],
+        expected_statuses=(200,),
+        sleep_fn=slept.append,
+    )
+    assert wrapped()["status"] == 200
+    # call 1: 500 (unexpected -> backoff); call 2: 401 -> in-wrapper
+    # refresh -> call 3: 200
+    assert fetch.auths == ["Bearer t1", "Bearer t1", "Bearer t2"]
+    assert len(slept) == 1
+
+
+@pytest.fixture(scope="module")
+def rsa_keypair():
+    from cryptography.hazmat.primitives import serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    pem = key.private_bytes(
+        serialization.Encoding.PEM,
+        serialization.PrivateFormat.PKCS8,
+        serialization.NoEncryption(),
+    )
+    return pem, key.public_key()
+
+
+def test_jwt_bearer_token_flow(rsa_keypair):
+    """oauth2.go parity: RS256 assertion with iss/sub/aud/iat/exp/scope
+    claims, form-POSTed to the injectable token endpoint; access_token +
+    expires_in drive the cache."""
+    import base64 as b64
+    import json as js
+
+    from cryptography.hazmat.primitives import hashes
+    from cryptography.hazmat.primitives.asymmetric import padding
+
+    from caterpillar_spark.sources.oauth import jwt_bearer_token_fn
+
+    pem, pub = rsa_keypair
+    posts = []
+
+    def post_fn(url, data, headers):
+        posts.append((url, data, headers))
+        return {"access_token": "granted", "expires_in": 120}
+
+    token_fn = jwt_bearer_token_fn(
+        post_fn,
+        "https://auth.example/token",
+        pem,
+        issuer="iss-x",
+        subject="sub-y",
+        audience="aud-z",
+        scope=["read", "write"],
+        now_fn=lambda: 1_000_000.0,
+    )
+    tok, expires_at = token_fn()
+    assert tok == "granted"
+    assert expires_at == 1_000_000.0 + 120
+    url, data, headers = posts[0]
+    assert url == "https://auth.example/token"
+    assert data["grant_type"].endswith("jwt-bearer")
+    assert headers["Content-Type"] == "application/x-www-form-urlencoded"
+    h, c, sig = data["assertion"].split(".")
+
+    def unb64(s):
+        return b64.urlsafe_b64decode(s + "=" * (-len(s) % 4))
+
+    assert js.loads(unb64(h)) == {"alg": "RS256", "typ": "JWT"}
+    claims = js.loads(unb64(c))
+    assert claims == {
+        "iss": "iss-x",
+        "sub": "sub-y",
+        "aud": "aud-z",
+        "iat": 1_000_000,
+        "exp": 1_000_000 + 1800,
+        "scope": "read write",
+    }
+    # signature verifies against the public key (raises on mismatch)
+    pub.verify(
+        unb64(sig), f"{h}.{c}".encode(), padding.PKCS1v15(), hashes.SHA256()
+    )
+
+
+def test_oauth1_header_signature_deterministic_and_correct():
+    """oauth1.go parity: recompute the base string + HMAC independently
+    and assert the header carries exactly that signature."""
+    import base64 as b64
+    import hashlib
+    import hmac as hm
+    import urllib.parse as up
+
+    from caterpillar_spark.sources.oauth import oauth1_header
+
+    hdr = oauth1_header(
+        "GET",
+        "HTTPS://API.Example.com/v1/items?b=2&a=1 x",
+        consumer_key="ck",
+        consumer_secret="cs",
+        token="tk",
+        token_secret="ts",
+        realm="r1",
+        nonce_fn=lambda: "fixed-nonce",
+        timestamp_fn=lambda: 1_700_000_000,
+    )
+    assert hdr == oauth1_header(  # deterministic under injected nonce/ts
+        "GET",
+        "HTTPS://API.Example.com/v1/items?b=2&a=1 x",
+        consumer_key="ck",
+        consumer_secret="cs",
+        token="tk",
+        token_secret="ts",
+        realm="r1",
+        nonce_fn=lambda: "fixed-nonce",
+        timestamp_fn=lambda: 1_700_000_000,
+    )
+    assert hdr.startswith("OAuth ")
+    assert 'realm="r1"' in hdr and 'oauth_nonce="fixed-nonce"' in hdr
+    # independent reconstruction (reference semantics: lowercased
+    # scheme/host, query stripped from base url, sorted k=enc(v) params,
+    # RAW-secret signing key, query-escaped base64 signature)
+    params = sorted(
+        [
+            "oauth_consumer_key=ck",
+            "oauth_signature_method=HMAC-SHA256",
+            "oauth_timestamp=1700000000",
+            "oauth_token=tk",
+            "oauth_version=1.0",
+            "oauth_nonce=fixed-nonce",
+            "a=1%20x",
+            "b=2",
+        ]
+    )
+    base = "&".join(
+        [
+            "GET",
+            up.quote("https://api.example.com/v1/items", safe="-._~"),
+            up.quote("&".join(params), safe="-._~"),
+        ]
+    )
+    digest = hm.new(b"cs&ts", base.encode(), hashlib.sha256).digest()
+    expected_sig = up.quote_plus(b64.b64encode(digest).decode())
+    assert f'oauth_signature="{expected_sig}"' in hdr
+
+
 def test_paginate_with_retry_wrapper(spark):
     """The retry= kwarg wires with_retries into the pagination loop."""
     flaky_pages = _Flaky(
