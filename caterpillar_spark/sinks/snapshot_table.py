@@ -172,6 +172,69 @@ def murmur3_hash_int(value: int, seed: int = 42) -> int:
     return h1 - (1 << 32) if h1 >= (1 << 31) else h1
 
 
+_XX_P1 = 0x9E3779B185EBCA87
+_XX_P2 = 0xC2B2AE3D27D4EB4F
+_XX_P3 = 0x165667B19E3779F9
+_XX_P4 = 0x85EBCA77C2B2AE63
+_XX_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _xx_rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xx_round(acc: int, inp: int) -> int:
+    return _xx_rotl((acc + inp * _XX_P2) & _M64, 31) * _XX_P1 & _M64
+
+
+def xxhash64_bytes(data: bytes, seed: int = 42) -> int:
+    """Spark's ``F.xxhash64`` of one string column: XXH64 (the public
+    xxHash spec, little-endian words) over the UTF-8 bytes, seed 42 —
+    same algorithm as org.apache.spark.sql.catalyst.expressions.XxHash64.
+    Signed-int64 result. Pure Python so a conv_id point lookup can route
+    to its bucket with ZERO Spark jobs (the read-side twin of merge's
+    murmur3-inverse routing); JVM parity is pinned by a test."""
+    n, i = len(data), 0
+    if n >= 32:
+        v1 = (seed + _XX_P1 + _XX_P2) & _M64
+        v2 = (seed + _XX_P2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XX_P1) & _M64
+        while i + 32 <= n:
+            v1 = _xx_round(v1, int.from_bytes(data[i : i + 8], "little"))
+            v2 = _xx_round(v2, int.from_bytes(data[i + 8 : i + 16], "little"))
+            v3 = _xx_round(v3, int.from_bytes(data[i + 16 : i + 24], "little"))
+            v4 = _xx_round(v4, int.from_bytes(data[i + 24 : i + 32], "little"))
+            i += 32
+        h = (
+            _xx_rotl(v1, 1) + _xx_rotl(v2, 7) + _xx_rotl(v3, 12) + _xx_rotl(v4, 18)
+        ) & _M64
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ _xx_round(0, v)) * _XX_P1 + _XX_P4) & _M64
+    else:
+        h = (seed + _XX_P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        h ^= _xx_round(0, int.from_bytes(data[i : i + 8], "little"))
+        h = (_xx_rotl(h, 27) * _XX_P1 + _XX_P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h ^= int.from_bytes(data[i : i + 4], "little") * _XX_P1 & _M64
+        h = (_xx_rotl(h, 23) * _XX_P2 + _XX_P3) & _M64
+        i += 4
+    while i < n:
+        h ^= data[i] * _XX_P5 & _M64
+        h = _xx_rotl(h, 11) * _XX_P1 & _M64
+        i += 1
+    h ^= h >> 33
+    h = h * _XX_P2 & _M64
+    h ^= h >> 29
+    h = h * _XX_P3 & _M64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
 _ROUTE_CACHE: dict[int, dict[int, int]] = {}
 
 
@@ -465,8 +528,43 @@ class SnapshotTable:
             )
         )
 
+    def bucket_for_key(self, conv_id: str) -> int:
+        """Bucket id of one conv_id — the same ``pmod(xxhash64(conv_id),
+        n_buckets)`` the writer routes by, computed driver-side with zero
+        Spark jobs (:func:`xxhash64_bytes` is the JVM-parity twin)."""
+        return xxhash64_bytes(str(conv_id).encode()) % self.n_buckets
+
+    def _pruned_key_paths(
+        self, snap: Snapshot, conv_ids: list[str]
+    ) -> tuple[list[str], bool]:
+        """(file paths a conv_id-equality read must scan, whether any are
+        delta files). Two pruning levels, both metadata-only: bucket
+        routing (each file holds exactly ONE bucket — part index ==
+        bucket id invariant) then per-file conv_id min/max from
+        file_stats — the read-side twin of merge's CoW pruning. At 10^6
+        files this turns "fetch one conversation" from a full-table scan
+        into reading a handful of files."""
+        buckets = sorted({self.bucket_for_key(k) for k in conv_ids})
+        klo, khi = min(conv_ids), max(conv_ids)
+        base = [
+            p
+            for b in buckets
+            for p in snap.buckets.get(str(b), [])
+            if _overlaps(snap.file_stats.get(p), klo, khi)
+        ]
+        deltas = [
+            p
+            for b in buckets
+            for p in snap.deltas.get(str(b), [])
+            if _overlaps(snap.file_stats.get(p), klo, khi)
+        ]
+        return base + deltas, bool(deltas)
+
     def read(
-        self, include_deleted: bool = False, version: int | None = None
+        self,
+        include_deleted: bool = False,
+        version: int | None = None,
+        conv_id: str | list[str] | None = None,
     ) -> DataFrame:
         """Table state (live rows, payload columns only). ``version`` time-
         travels to an older snapshot — every snapshot's file set is
@@ -474,12 +572,33 @@ class SnapshotTable:
         ``VERSION AS OF``). If the snapshot carries merge-on-read deltas,
         the read LWW-reduces base∪delta by ``_lsn`` (one hash agg); a
         delta-free snapshot is key-unique by construction and reads with
-        zero reduction."""
+        zero reduction.
+
+        ``conv_id`` (one key or a list) is the point-lookup fast path:
+        the scan is pruned to the keys' buckets and, within them, to the
+        files whose conv_id min/max stats overlap — metadata-only, zero
+        Spark jobs before the read itself — then filtered to exactly
+        those keys (the equality predicate also pushes into the parquet
+        row-group scan). The LWW reduction runs only when the PRUNED file
+        set actually contains deltas, so a point lookup on a compacted
+        region of a delta-carrying table still skips the aggregate."""
         snap = self.snapshot(version)
-        df = self._read_files(
-            snap, self._bucket_paths(snap, list(range(self.n_buckets)))
-        )
-        if snap.has_deltas():
+        if conv_id is not None:
+            keys = [str(k) for k in (
+                conv_id if isinstance(conv_id, (list, tuple, set)) else [conv_id]
+            )]
+            paths, any_deltas = self._pruned_key_paths(snap, keys)
+            df = self._read_files(snap, paths).filter(
+                F.col("conv_id") == keys[0]
+                if len(keys) == 1
+                else F.col("conv_id").isin(keys)
+            )
+        else:
+            any_deltas = snap.has_deltas()
+            df = self._read_files(
+                snap, self._bucket_paths(snap, list(range(self.n_buckets)))
+            )
+        if any_deltas:
             df = self._lww_reduce(df, [f.name for f in self.payload_schema(snap)])
         if not include_deleted:
             df = df.filter(~F.col("_deleted"))

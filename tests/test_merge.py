@@ -85,6 +85,93 @@ def test_resume_from_partial_replay(spark, tmp_path):
     assert _final_state_canon(tbl.read()) == _expected_canon(spark, SPEC)
 
 
+def test_two_streams_interleaved_with_crash_retry(spark, tmp_path):
+    """The ledger keys applied ranges BY STREAM: two streams with
+    overlapping numeric LSN spaces interleave batches into one table; one
+    commit crashes after its data files are written (pre-link) and is
+    retried; redeliveries on both streams no-op. Final state and both
+    ledgers must come out exact — the multi-writer story of the
+    exactly-once gate."""
+    import datetime as dt
+
+    from caterpillar_spark.sinks.snapshot_table import SnapshotTable as ST
+
+    TS = dt.datetime(2024, 1, 1)
+
+    def ev(rows):  # (lsn, op, conv, turn, text)
+        return spark.createDataFrame(
+            [(l, o, c, t, "user", x, None, TS) for l, o, c, t, x in rows],
+            T.StructType(
+                [
+                    T.StructField("lsn", T.LongType()),
+                    T.StructField("op", T.StringType()),
+                ]
+                + list(PAYLOAD.fields)
+            ),
+        )
+
+    tbl = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=8).create(PAYLOAD)
+    a0 = ev([(i, "I", f"conv_a_{i:04d}", 0, "a-v1") for i in range(20)])
+    b0 = ev([(i, "I", f"conv_b_{i:04d}", 0, "b-v1") for i in range(15)])
+    a1 = ev(
+        [(100 + i, "U", f"conv_a_{i:04d}", 0, "a-v2") for i in range(5)]
+        + [(150, "D", "conv_a_0019", 0, None)]
+    )
+    b1 = ev([(100 + i, "U", f"conv_b_{i:04d}", 0, "b-v2") for i in range(3)])
+
+    v, _ = tbl.merge(a0, 0, (0, 19), stream_id="A")
+    assert v == 1
+    v, _ = tbl.merge(b0, 0, (0, 14), stream_id="B")
+    assert v == 2
+
+    # stream A's next commit CRASHES after writing data files, before the
+    # atomic snapshot link — nothing may become visible
+    real_commit = ST._commit
+    boom = {"armed": True}
+
+    def crashing_commit(self, snap, touched=None):
+        if boom["armed"] and snap.version > 2:
+            boom["armed"] = False
+            raise RuntimeError("simulated crash before atomic commit")
+        return real_commit(self, snap, touched)
+
+    ST._commit = crashing_commit
+    try:
+        try:
+            tbl.merge(a1, 1, (100, 150), stream_id="A")
+            raise AssertionError("crash did not fire")
+        except RuntimeError as e:
+            assert "simulated crash" in str(e)
+    finally:
+        ST._commit = real_commit
+    # the crashed commit is invisible: version unmoved, range unapplied
+    fresh = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=8)
+    assert fresh.current_version() == 2
+    assert fresh.applied_ranges("A") == [[0, 19]]
+    assert {r["text"] for r in fresh.read().collect()} == {"a-v1", "b-v1"}
+
+    # retry the crashed batch (fresh handle, as a restarted job would)
+    v, _ = fresh.merge(a1, 1, (100, 150), stream_id="A")
+    assert v == 3
+    v, _ = fresh.merge(b1, 1, (100, 102), stream_id="B")
+    assert v == 4
+
+    # redelivery on BOTH streams no-ops — including stream A's numeric
+    # range (0,19), which stream B also used: ledgers are per-stream
+    assert fresh.merge(a0, 0, (0, 19), stream_id="A")[0] == -1
+    assert fresh.merge(b0, 0, (0, 14), stream_id="B")[0] == -1
+    assert fresh.merge(a1, 1, (100, 150), stream_id="A")[0] == -1
+    assert fresh.current_version() == 4
+
+    got = {r["conv_id"]: r["text"] for r in fresh.read().collect()}
+    assert len(got) == 20 + 15 - 1  # one A-row deleted
+    assert "conv_a_0019" not in got
+    assert got["conv_a_0000"] == "a-v2" and got["conv_a_0005"] == "a-v1"
+    assert got["conv_b_0000"] == "b-v2" and got["conv_b_0003"] == "b-v1"
+    assert fresh.applied_ranges("A") == [[0, 19], [100, 150]]
+    assert fresh.applied_ranges("B") == [[0, 14], [100, 102]]
+
+
 def test_delete_then_old_replay_does_not_resurrect(spark, tmp_path):
     """Tombstones + ledger: re-applying an old chunk after a later delete
     must not resurrect the row."""

@@ -171,6 +171,106 @@ def test_file_pruning_bounds_write_amplification(spark, tmp_path):
     assert got["conv_000050"] == "v2"
 
 
+def test_xxhash64_python_matches_spark(spark):
+    """The pure-Python XXH64 must agree with F.xxhash64 on string columns
+    — point-lookup bucket routing rests on it (the read-side twin of the
+    murmur3 parity test above)."""
+    from caterpillar_spark.sinks.snapshot_table import xxhash64_bytes
+
+    vals = [f"conv_{i:08d}" for i in range(50)] + [
+        "",
+        "a",
+        "x" * 7,
+        "y" * 8,
+        "z" * 31,
+        "w" * 32,
+        "q" * 100,
+        "héllo ⚡ wörld",
+    ]
+    got = {
+        r["v"]: r["h"]
+        for r in spark.createDataFrame([(v,) for v in vals], "v string")
+        .select("v", F.xxhash64("v").alias("h"))
+        .collect()
+    }
+    for v in vals:
+        assert xxhash64_bytes(v.encode()) == got[v], v
+
+
+def test_point_lookup_read_prunes_to_one_buckets_files(spark, tmp_path):
+    """read(conv_id=...) must scan ONLY the key's bucket — and within it
+    only the files whose conv_id min/max overlap the key (the read-side
+    twin of merge's CoW pruning). Asserted at the plan level via
+    inputFiles(), not just on results."""
+    tbl = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=8).create(PAYLOAD)
+    lo_range = [f"conv_{i:06d}" for i in range(120)]
+    hi_range = [f"conv_{i:06d}" for i in range(500, 620)]
+    tbl.merge(_insert_batch(spark, lo_range, 0), 0, (0, 119))
+    tbl.merge(_insert_batch(spark, hi_range, 200), 1, (200, 319))
+    snap = tbl.snapshot()
+    all_files = {p for ps in snap.buckets.values() for p in ps}
+    key = "conv_000050"
+    b = tbl.bucket_for_key(key)
+    bucket_files = set(snap.buckets.get(str(b), []))
+    assert len(all_files) > len(bucket_files)  # several buckets populated
+
+    df = tbl.read(conv_id=key)
+    scanned = {os.path.realpath(p.removeprefix("file:")) for p in df.inputFiles()}
+    expect_bucket = {os.path.realpath(p) for p in bucket_files}
+    assert scanned <= expect_bucket, "lookup escaped its bucket"
+    # file_stats pruning: the hi-range file in this bucket (disjoint key
+    # range) must NOT be scanned — only the lo-range file(s)
+    assert len(scanned) < len(expect_bucket) or len(expect_bucket) == 1
+    rows = df.collect()
+    assert [(r["conv_id"], r["text"]) for r in rows] == [(key, f"v1:{key}")]
+
+    # multi-key lookup unions buckets and still prunes vs the full table
+    keys = [key, "conv_000510"]
+    df2 = tbl.read(conv_id=keys)
+    scanned2 = {os.path.realpath(p.removeprefix("file:")) for p in df2.inputFiles()}
+    allowed = {
+        os.path.realpath(p)
+        for k in keys
+        for p in snap.buckets.get(str(tbl.bucket_for_key(k)), [])
+    }
+    assert scanned2 <= allowed
+    assert len(scanned2) < len(all_files)
+    assert sorted(r["conv_id"] for r in df2.collect()) == sorted(keys)
+
+    # a missing key reads empty (and a deleted key disappears)
+    assert tbl.read(conv_id="conv_999999").count() == 0
+    tbl.merge(_events(spark, [(900, "D", key, 0, None)]), 2, (900, 900))
+    assert tbl.read(conv_id=key).count() == 0
+
+
+def test_point_lookup_skips_reduce_on_delta_free_pruned_set(spark, tmp_path):
+    """A point lookup whose pruned file set carries no deltas must read
+    with zero aggregates even when OTHER buckets hold deltas — and a
+    lookup that does hit deltas still LWW-reduces correctly."""
+    tbl = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=8).create(PAYLOAD)
+    convs = [f"conv_{i:06d}" for i in range(64)]
+    tbl.merge(_insert_batch(spark, convs, 0), 0, (0, 63))
+    # delta-update ONE key -> exactly one bucket gains a delta file
+    upd_key = "conv_000007"
+    tbl.merge(
+        _events(spark, [(100, "U", upd_key, 0, "v2")]),
+        1,
+        (100, 100),
+        mode="delta",
+    )
+    snap = tbl.snapshot()
+    assert snap.has_deltas()
+    delta_bucket = tbl.bucket_for_key(upd_key)
+    clean_key = next(
+        c for c in convs if tbl.bucket_for_key(c) != delta_bucket
+    )
+    clean_plan = tbl.read(conv_id=clean_key)._jdf.queryExecution().executedPlan().toString()
+    assert "Aggregate" not in clean_plan  # no LWW reduce on the clean path
+    assert tbl.read(conv_id=clean_key).count() == 1
+    hit = tbl.read(conv_id=upd_key).collect()
+    assert [(r["conv_id"], r["text"]) for r in hit] == [(upd_key, "v2")]
+
+
 def test_delta_merge_is_o_batch_and_compacts(spark, tmp_path):
     """mode='delta' (and 'auto' for a tiny batch): write volume is O(batch),
     base files untouched; reads LWW-reduce; compact folds deltas back."""
