@@ -57,9 +57,21 @@ BENCH_QUERIES = [
 
 
 def cdc_events_dir(spark, n_events: int, n_chunks: int) -> list[str]:
-    """Generate-once cache of the benchmark change stream."""
+    """Generate-once cache of the benchmark change stream.
+
+    ``SPARK_GRAFT_BENCH_HOT_FRAC`` / ``SPARK_GRAFT_BENCH_HOT_TRAFFIC``
+    override the generator's skew shape (defaults 0.01 / 0.5) so the
+    scaling harness can record a Zipf-hot run; non-default skew gets its
+    own cache directory so shapes never mix."""
     base = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/caterpillar_bench")
-    out = f"{base}/events_{n_events}_{n_chunks}"
+    hot_frac = float(os.environ.get("SPARK_GRAFT_BENCH_HOT_FRAC", "0.01"))
+    hot_traffic = float(os.environ.get("SPARK_GRAFT_BENCH_HOT_TRAFFIC", "0.5"))
+    tag = (
+        ""
+        if (hot_frac, hot_traffic) == (0.01, 0.5)
+        else f"_hf{hot_frac:g}_ht{hot_traffic:g}"
+    )
+    out = f"{base}/events_{n_events}_{n_chunks}{tag}"
     marker = f"{out}/_DONE"
     if not os.path.exists(marker):
         shutil.rmtree(out, ignore_errors=True)
@@ -68,6 +80,8 @@ def cdc_events_dir(spark, n_events: int, n_chunks: int) -> list[str]:
             n_convs=max(1000, n_events // 100),
             turns_per_conv=10,
             seed=42,
+            hot_frac=hot_frac,
+            hot_traffic=hot_traffic,
             n_source_partitions=32,
         )
         write_changelog_chunks(spark, spec, out, n_chunks=n_chunks)

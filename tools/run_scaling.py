@@ -84,13 +84,14 @@ class Worker:
     """One persistent pinned replay JVM (tools/scaling_worker.py)."""
 
     def __init__(self, cores: int, cpu_offset: int, events: int,
-                 chunks: int, tmpfs: bool):
+                 chunks: int, tmpfs: bool,
+                 skew: tuple[float, float] | None = None):
         self.cores = cores
-        self._spawn_args = (cores, cpu_offset, events, chunks, tmpfs)
+        self._spawn_args = (cores, cpu_offset, events, chunks, tmpfs, skew)
         self._spawn()
 
     def _spawn(self) -> None:
-        cores, cpu_offset, events, chunks, tmpfs = self._spawn_args
+        cores, cpu_offset, events, chunks, tmpfs, skew = self._spawn_args
         cmd = [
             sys.executable, "/root/repo/tools/scaling_worker.py",
             "--cores", str(cores), "--cpu-offset", str(cpu_offset),
@@ -98,6 +99,9 @@ class Worker:
         ]
         if tmpfs:
             cmd.append("--tmpfs")
+        if skew is not None:
+            cmd += ["--hot-frac", str(skew[0]),
+                    "--hot-traffic", str(skew[1])]
         # stderr to a file, NOT devnull: a 20M/1-chunk record lost its
         # 4-core worker mid-round with zero diagnostics — the death cause
         # (JVM OOM vs host kill) must be readable afterwards
@@ -214,8 +218,13 @@ def main() -> None:
     # a dirty round means the host is mid-throttle: wait longer before
     # burning another round into the same window
     ap.add_argument("--dirty-cooldown", type=int, default=300)
+    # Zipf-hot record (VERDICT r4 #5): 0.1% of convs soak up 80% of the
+    # update traffic — the skew-salting path's stress shape. Default
+    # record keeps the generator's 1%/50% mild skew.
+    ap.add_argument("--skew", action="store_true")
     args = ap.parse_args()
     lo, hi = args.n, 4 * args.n
+    skew = (0.001, 0.8) if args.skew else None
 
     if args.tmpfs:
         os.makedirs("/dev/shm/caterpillar_scaling", exist_ok=True)
@@ -229,9 +238,9 @@ def main() -> None:
     # hi first (generates the shared input cache fastest), then lo;
     # disjoint core ranges: hi on [0, hi), lo on [hi, hi+lo)
     w = {}
-    w[hi] = Worker(hi, 0, args.events, args.chunks, args.tmpfs)
+    w[hi] = Worker(hi, 0, args.events, args.chunks, args.tmpfs, skew)
     w[hi].wait_ready()
-    w[lo] = Worker(lo, hi, args.events, args.chunks, args.tmpfs)
+    w[lo] = Worker(lo, hi, args.events, args.chunks, args.tmpfs, skew)
     w[lo].wait_ready()
     print(f"workers ready: cores={hi} (cpus 0-{hi-1}), "
           f"cores={lo} (cpus {hi}-{hi+lo-1})", flush=True)
@@ -352,6 +361,9 @@ def main() -> None:
     summary = {
         "events": args.events,
         "chunks": args.chunks,
+        "skewed": bool(skew),
+        "hot_frac": skew[0] if skew else 0.01,
+        "hot_traffic": skew[1] if skew else 0.5,
         "rounds": len(pair_effs),
         "target_clean": args.target_clean,
         "cores_n": lo,

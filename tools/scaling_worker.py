@@ -37,10 +37,19 @@ def main() -> None:
     ap.add_argument("--events", type=int, required=True)
     ap.add_argument("--chunks", type=int, default=2)
     ap.add_argument("--tmpfs", action="store_true")
+    # generator skew shape (bench.cdc_events_dir reads these via env; the
+    # skewed scaling record passes hot-frac 0.001 / hot-traffic 0.8)
+    ap.add_argument("--hot-frac", type=float, default=None)
+    ap.add_argument("--hot-traffic", type=float, default=None)
     args = ap.parse_args()
 
     import os
     import time
+
+    if args.hot_frac is not None:
+        os.environ["SPARK_GRAFT_BENCH_HOT_FRAC"] = str(args.hot_frac)
+    if args.hot_traffic is not None:
+        os.environ["SPARK_GRAFT_BENCH_HOT_TRAFFIC"] = str(args.hot_traffic)
 
     os.sched_setaffinity(
         0, set(range(args.cpu_offset, args.cpu_offset + args.cores))
