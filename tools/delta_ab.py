@@ -45,13 +45,13 @@ def _dir_bytes(root: str) -> int:
 
 
 def run_config(spark, chunks, work, threshold, maintain_every) -> dict:
-    from caterpillar_spark.cdc import apply_changes, segment_footer_stats
+    from caterpillar_spark.cdc import segment_footer_stats
 
     tbl = SnapshotTable(spark, work, n_buckets=32).create(PAYLOAD)
     t0 = time.time()
     n_delta = n_cow = 0
     schema = spark.read.parquet(chunks[-1]).schema
-    for i, path in enumerate(sorted(chunks)):
+    for i, path in enumerate(chunks):
         st = segment_footer_stats(path)
         events = spark.read.schema(schema).parquet(path)
         before_deltas = sum(len(v) for v in tbl.snapshot().deltas.values())

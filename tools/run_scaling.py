@@ -338,6 +338,12 @@ def main() -> None:
                 print(f"target of {args.target_clean} gate rounds reached",
                       flush=True)
                 break
+            # graceful early stop: touch this file to end the record NOW
+            # with the summary still written (killing the orchestrator
+            # loses the whole record — the summary runs after the loop)
+            if os.path.exists("/tmp/scaling_stop"):
+                print("stop file seen; ending record early", flush=True)
+                break
             if r < n_rounds - 1:
                 cd = (args.cooldown if round_clean and round_healthy
                       else args.dirty_cooldown)
