@@ -32,10 +32,16 @@ BENCH/BASELINE.md):
   shared disk (a real cluster has per-executor disks; this sandbox's one
   vda device would serialize all levels equally).
 
-The gate metric is ``efficiency_median_canary_clean`` — the median of
-pair efficiencies over canary-clean rounds; the co-measured raw-pyspark
-scan ceiling (same JVMs, same input, same windows) stays in the record so
-engine-attributable loss remains separable from platform loss.
+The gate metric is ``efficiency_median_gate`` — the median of pair
+efficiencies over rounds that are canary-clean AND probe-healthy, where
+probe-healthy means min(round probes) >= healthy_frac x the MEDIAN of
+per-round max probes (robust reference, round 5 — a record's first probe
+runs on an idle host and spikes, and normalizing to the single max
+rejected loaded steady-state rounds wholesale; see tools/regate.py,
+which recomputes old records under the same rule). The co-measured
+raw-pyspark scan ceiling (same JVMs, same input, same windows) stays in
+the record so engine-attributable loss remains separable from platform
+loss.
 
 Usage: python tools/run_scaling.py [--events 10000000] [--rounds 4] [--n 2]
 """
@@ -329,9 +335,18 @@ def main() -> None:
             # up as a depressed probe — each filter covers the other's
             # blind spot
             round_clean = max(ratio.values()) <= args.canary_ratio
-            best_so_far = max(max(p) for p in probes)
+            # robust probe reference (round 5): median of per-round max
+            # probes, NOT the all-time max — the record's first probe
+            # runs on an idle host before any Spark load and routinely
+            # spikes (3505 vs a 2000-2500 steady state in the 2026-08-17
+            # record), and a single max sample as normalizer then
+            # rejects every loaded round by ~2%. The median of maxes
+            # tracks typical attainable capacity; deep-throttle rounds
+            # (819/1150/1361 probes) still miss the 0.7x bar by 25-50%.
+            # tools/regate.py applies the same rule to older records.
+            probe_ref = statistics.median(max(p) for p in probes)
             round_healthy = (
-                min(probes[-1]) >= args.healthy_frac * best_so_far
+                min(probes[-1]) >= args.healthy_frac * probe_ref
             )
             n_clean += int(round_clean and round_healthy)
             if args.target_clean and n_clean >= args.target_clean:
@@ -353,10 +368,10 @@ def main() -> None:
         for worker in w.values():
             worker.stop()
 
-    best_probe = max(max(p) for p in probes)
+    probe_ref = statistics.median(max(p) for p in probes)
     healthy = [
         i for i in range(len(probes))
-        if min(probes[i]) >= args.healthy_frac * best_probe
+        if min(probes[i]) >= args.healthy_frac * probe_ref
     ]
     clean = [
         i for i, cr in enumerate(canary_ratios)
@@ -381,6 +396,9 @@ def main() -> None:
         "pair_efficiencies": [round(e, 3) for e in pair_effs],
         "host_probes": probes,
         "healthy_frac": args.healthy_frac,
+        # robust probe reference (median of per-round max probes — see
+        # the loop comment and tools/regate.py)
+        "probe_ref": round(probe_ref, 1),
         "healthy_rounds": healthy,
         "efficiency_median_healthy": (
             round(statistics.median(healthy_effs), 3) if healthy_effs else None
