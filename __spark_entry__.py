@@ -493,10 +493,14 @@ def q_hmac_sha256(spark, sf_dir):
 
 
 def q_sample_percent(spark, sf_dir):
-    from caterpillar_spark.operators.sampling import percent
+    """Deterministic hash-threshold percent sample (the certified form;
+    the seeded Bernoulli `percent` stays in the library, pytest-covered —
+    its kept set is Spark-RNG-specific so it can never hash-match an
+    independent engine)."""
+    from caterpillar_spark.operators.sampling import percent_hash
 
     ev = _t(spark, sf_dir, "events").select("event_id")
-    return percent(ev, 10.0, seed=42)
+    return percent_hash(ev, "event_id", 10.0)
 
 
 def q_media_features(spark, sf_dir):
@@ -607,10 +611,13 @@ def q_cdc_replay_events(spark, sf_dir):
 
 
 def q_sample_random(spark, sf_dir):
-    from caterpillar_spark.operators.sampling import random_n
+    """Deterministic n-row sample: the 200 smallest md5(key) draws. The
+    seeded `random_n` (F.rand ordering) stays in the library for
+    reference parity; this is the engine-independent certified form."""
+    from caterpillar_spark.operators.sampling import random_n_hash
 
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
-    return random_n(ev, 200, seed=42)
+    return random_n_hash(ev, "event_id", 200)
 
 
 def q_shuffle_array(spark, sf_dir):
@@ -819,7 +826,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries (CORRECTNESS_r03 recorded exactly keys 1-50 — VERDICT r3
     # what's-wrong #2). The ann/media/doc-analysis family and the new r4
     # rows sit inside that window; the tail holds only rows-only entries
-    # (hmac/rsa/sample_percent/sample_random have no SQL twin by design)
+    # (hmac/rsa have no SQL twin by design; sample_percent/sample_random
+    # hash-verify since r5 via the deterministic md5-threshold variants)
     # and trivial invariant checks (uuid length, shuffle cardinality,
     # builtin translate, the deterministic translate stub, deprecated
     # sample_nth) that the judge can re-run cheaply.
@@ -1079,6 +1087,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sample_nth": """
           SELECT event_id, user_id FROM events WHERE event_id % 10 = 0
+        """,
+        # deterministic hash sampling: md5 of the key string is computed
+        # identically by Spark and DuckDB (lowercase hex, UTF-8), so the
+        # kept SET is engine-independent. 0x19999999 = floor(0.10 * 16^8).
+        "sample_percent": """
+          SELECT event_id FROM events
+          WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 8) < '19999999'
+        """,
+        "sample_random": """
+          SELECT event_id, user_id FROM events
+          ORDER BY substring(md5(CAST(event_id AS VARCHAR)), 1, 8) ASC
+          LIMIT 200
         """,
         "union": """
           SELECT c_name AS name, 'customer' AS src FROM customer
@@ -1599,11 +1619,13 @@ def oracle_sql() -> dict[str, str]:
         # rows-only (non-SQL-expressible or non-deterministic-by-design):
         # cdc_replay_final_state (on-disk generator table; its oracle twin
         # over shared input is cdc_replay_events), hmac_sha256/512/md5 and
-        # rsa_sha256 (no HMAC/RSA in DuckDB; pytest-verified vs hashlib /
-        # public-key verify), sample_percent / sample_random (seeded
-        # engine RNG not reproducible cross-engine). ann_ivf_kmeans is
-        # hash-verified since r5: the bit-stable trained codebook is
-        # inlined into its SQL twin as literals.
+        # rsa_sha256 (DuckDB has no HMAC/RSA, and its sha256 is
+        # VARCHAR-only so the H(opad||H(ipad||m)) construction cannot
+        # round-trip raw digest bytes; pytest-verified vs hashlib /
+        # public-key verify). ann_ivf_kmeans is hash-verified since r5
+        # (bit-stable trained codebook inlined as SQL literals), and
+        # sample_percent / sample_random hash-verify since r5 via the
+        # deterministic md5-threshold sampling variants.
     }
 
 

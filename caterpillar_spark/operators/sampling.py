@@ -73,3 +73,40 @@ def nth_keyed(df: DataFrame, order: str, divider: int) -> DataFrame:
     directly instead of a global row_number window — no single-task sort.
     Equivalent to `nth` when `order` is dense from 0 (e.g. the LSN)."""
     return df.filter(F.col(order) % divider == 0)
+
+
+def _hash_hex8(key, salt: str = ""):
+    """First 8 hex digits of md5(salt || key-as-string) — a uniform
+    [0, 16^8) draw that Spark and any ANSI engine compute identically
+    (md5 of the UTF-8 string, lowercase hex, lexicographic compare)."""
+    s = F.col(key).cast("string")
+    if salt:
+        s = F.concat(F.lit(salt), s)
+    return F.substring(F.md5(s), 1, 8)
+
+
+@register("sample_percent_hash")
+def percent_hash(df: DataFrame, key: str, pct: float, salt: str = "") -> DataFrame:
+    """Deterministic percent sample: keep rows whose md5(key) falls under
+    the pct threshold. Unlike the seeded Bernoulli :func:`percent`, the
+    kept SET is a pure function of the key — stable across retries,
+    engines, partitionings, and cluster sizes, which is what a certified
+    CDC path needs (task/sample/percent.go:35-49 uses crypto RNG; this is
+    the reproducible re-expression). ``salt`` rotates the sample without
+    touching the keys. Pure pushed-down filter — no shuffle, no state."""
+    if not 0.0 <= pct <= 100.0:
+        raise ValueError(f"pct must be in [0, 100], got {pct}")
+    if pct == 100.0:
+        return df  # cutoff 16^8 is 9 hex digits — lexicographic compare
+        # against 8-digit hashes would invert; keep-all needs no filter
+    cutoff = format(int(pct / 100.0 * 16**8), "08x")
+    return df.filter(_hash_hex8(key, salt) < F.lit(cutoff))
+
+
+@register("sample_random_hash")
+def random_n_hash(df: DataFrame, key: str, n: int, salt: str = "") -> DataFrame:
+    """Deterministic n-row sample: the n smallest md5(salt || key) values.
+    Same reproducibility argument as :func:`percent_hash`; Spark executes
+    orderBy+limit as a per-partition top-n merged on the driver
+    (TakeOrderedAndProject), so it never global-sorts the input."""
+    return df.orderBy(_hash_hex8(key, salt).asc()).limit(n)

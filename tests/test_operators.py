@@ -61,6 +61,39 @@ def test_head_tail_nth(spark):
     assert [r["k"] for r in nth(df, "k", 25).collect()] == [0, 25, 50, 75]
 
 
+def test_hash_sampling_deterministic(spark):
+    import hashlib as _hl
+
+    from caterpillar_spark.operators.sampling import percent_hash, random_n_hash
+
+    df = spark.range(1000).select(F.col("id").alias("k"))
+    kept = sorted(r["k"] for r in percent_hash(df, "k", 10.0).collect())
+    # pure function of the key: recompute the expected set with hashlib
+    expect = sorted(
+        i for i in range(1000)
+        if _hl.md5(str(i).encode()).hexdigest()[:8] < "19999999"
+    )
+    assert kept == expect
+    assert kept == sorted(r["k"] for r in percent_hash(df, "k", 10.0).collect())
+    # salt rotates the sample without changing its size distribution
+    salted = sorted(r["k"] for r in percent_hash(df, "k", 10.0, salt="s1").collect())
+    assert salted != kept
+    # boundary pcts
+    assert percent_hash(df, "k", 0.0).count() == 0
+    assert percent_hash(df, "k", 100.0).count() == 1000
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        percent_hash(df, "k", 101.0)
+
+    top = random_n_hash(df, "k", 50)
+    got = sorted(r["k"] for r in top.collect())
+    expect_n = sorted(
+        sorted(range(1000), key=lambda i: _hl.md5(str(i).encode()).hexdigest()[:8])[:50]
+    )
+    assert got == expect_n
+
+
 def test_hmac_matches_stdlib(spark):
     df = spark.createDataFrame([("k1", "hello"), ("k2", "world")], ["k", "m"])
     got = {
