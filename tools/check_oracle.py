@@ -136,10 +136,14 @@ def main():
             print(f"FAIL {name}: spark error: {str(e)[:300]}")
             n_fail += 1
             continue
-        if name not in oracles:
+        pinned_sf = getattr(entrymod, "SF_PINNED_ORACLES", {}).get(name)
+        if name not in oracles or (
+            pinned_sf and not sf_dir.rstrip("/").endswith(pinned_sf)
+        ):
             status = "ROWS-ONLY"
-            ok = len(srows) >= 0
-            print(f"{status:9s} {name}: rows={len(srows)} ({time.time()-t0:.1f}s)")
+            note = f" (oracle pinned to {pinned_sf})" if pinned_sf else ""
+            print(f"{status:9s} {name}: rows={len(srows)}{note} "
+                  f"({time.time()-t0:.1f}s)")
             n_rowsonly += 1
             continue
         try:

@@ -14,9 +14,14 @@ changelog; we record wall seconds, bytes written to the table's data dir
 amplification), delta-vs-CoW batch counts, and a timed full read at the
 end (MoR backlogs pay at read time — the cost threshold trades against).
 
-Interleaved config order + per-config fresh JVM-warm session reuse keep
-the comparison relative; run on a quiet host (pkill SparkSubmit first).
-Appends one JSON line per run to BENCH/delta_ab.json.
+Each pass runs the 6 configs sequentially in one warmed JVM; set
+DELTA_AB_PASSES>1 to repeat the grid (passes interleave configs across
+time, so a host-drift window cannot be attributed to one config — take
+per-config medians across passes). The DECISION metrics — bytes written
+and delta-vs-CoW route counts — are deterministic byte/route counts that
+host drift cannot perturb; only wall seconds are timing-sensitive. Run on
+a quiet host (pkill SparkSubmit first). Appends one JSON line per run to
+BENCH/delta_ab.json.
 """
 
 from __future__ import annotations
@@ -110,17 +115,21 @@ def main() -> None:
     grid = [
         (t, m) for m in (None, 4) for t in (1.0, 3.0, 10.0)
     ]
+    passes = int(os.environ.get("DELTA_AB_PASSES", "1"))
     results = []
-    for t, m in grid:
-        work = f"{base}/t{t}_m{m}"
-        r = run_config(spark, chunks, work, t, m)
-        shutil.rmtree(work, ignore_errors=True)
-        results.append(r)
-        print(json.dumps(r), flush=True)
+    for p in range(passes):
+        for t, m in grid:
+            work = f"{base}/p{p}_t{t}_m{m}"
+            r = run_config(spark, chunks, work, t, m)
+            shutil.rmtree(work, ignore_errors=True)
+            r["pass"] = p
+            results.append(r)
+            print(json.dumps(r), flush=True)
     out = {
         "events": n_events,
         "chunks": n_chunks,
         "batch_rows": n_events // n_chunks,
+        "passes": passes,
         "results": results,
         "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
     }

@@ -49,7 +49,12 @@ def regate(rec: dict, healthy_frac: float | None = None) -> dict | None:
     canary_bar = rec.get("canary_ratio_threshold", 1.1)
 
     ref_max = max(max(p) for p in probes)
-    ref_robust = statistics.median(max(p) for p in probes)
+    # median of per-round maxes, FLOORED at 0.6x the all-time max: the
+    # median resists the idle-host first-probe spike, the floor resists a
+    # majority-throttled record whose median would track the cap itself
+    # (every stored record's median exceeds its floor — outcome-identical
+    # on existing data, guard only for future records)
+    ref_robust = max(statistics.median(max(p) for p in probes), 0.6 * ref_max)
 
     clean = [
         i for i, cr in enumerate(ratios)

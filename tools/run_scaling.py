@@ -191,6 +191,18 @@ class Worker:
             self.proc.kill()
 
 
+def _probe_reference(probes: list[list[float]]) -> float:
+    """Robust probe-health reference: median of per-round max probes,
+    floored at 0.6x the all-time max. The median resists the idle-host
+    first-probe spike; the floor resists the opposite failure (a record
+    throttled for most of its rounds, where the median would track the
+    cap itself and admit exactly the depressed rounds the filter
+    exists to exclude). Every stored record's median exceeds its floor,
+    so regating is outcome-identical for existing data."""
+    maxes = [max(p) for p in probes]
+    return max(statistics.median(maxes), 0.6 * max(maxes))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     # 10M events: 5M was tried first (VERDICT r2 suggested shorter
@@ -238,6 +250,10 @@ def main() -> None:
     # kill orphaned JVMs from interrupted earlier runs — a leftover
     # SparkSubmit chewing CPU was the main source of "host drift" in early
     # measurements
+    # a stop file left over from ending a PREVIOUS record would silently
+    # truncate this one to a single round after full spin-up
+    if os.path.exists("/tmp/scaling_stop"):
+        os.unlink("/tmp/scaling_stop")
     subprocess.run(["pkill", "-9", "-f", "SparkSubmit"], capture_output=True)
     time.sleep(2)
 
@@ -343,12 +359,26 @@ def main() -> None:
             # rejects every loaded round by ~2%. The median of maxes
             # tracks typical attainable capacity; deep-throttle rounds
             # (819/1150/1361 probes) still miss the 0.7x bar by 25-50%.
-            # tools/regate.py applies the same rule to older records.
-            probe_ref = statistics.median(max(p) for p in probes)
+            # FLOORED at 0.6x the all-time max so a record throttled for
+            # the MAJORITY of its rounds cannot drag the median down to
+            # the cap and self-certify depressed rounds as healthy (no
+            # stored record's reference moves: every median exceeds the
+            # floor). tools/regate.py applies the same rule to older
+            # records.
+            probe_ref = _probe_reference(probes)
             round_healthy = (
                 min(probes[-1]) >= args.healthy_frac * probe_ref
             )
-            n_clean += int(round_clean and round_healthy)
+            # recompute the FULL gate set under the current reference
+            # (not an incremental count): later high-probe rounds raise
+            # the median, which can retro-flip an early round unhealthy —
+            # the stop decision must match the summary's final recompute
+            # or a record can stop "at target" yet regate below it
+            n_clean = sum(
+                1 for i in range(len(probes))
+                if max(canary_ratios[i].values()) <= args.canary_ratio
+                and min(probes[i]) >= args.healthy_frac * probe_ref
+            )
             if args.target_clean and n_clean >= args.target_clean:
                 print(f"target of {args.target_clean} gate rounds reached",
                       flush=True)
@@ -358,6 +388,7 @@ def main() -> None:
             # loses the whole record — the summary runs after the loop)
             if os.path.exists("/tmp/scaling_stop"):
                 print("stop file seen; ending record early", flush=True)
+                os.unlink("/tmp/scaling_stop")  # don't truncate the NEXT record
                 break
             if r < n_rounds - 1:
                 cd = (args.cooldown if round_clean and round_healthy
@@ -368,7 +399,7 @@ def main() -> None:
         for worker in w.values():
             worker.stop()
 
-    probe_ref = statistics.median(max(p) for p in probes)
+    probe_ref = _probe_reference(probes)
     healthy = [
         i for i in range(len(probes))
         if min(probes[i]) >= args.healthy_frac * probe_ref
