@@ -474,6 +474,14 @@ def q_ann_ivf_kmeans(spark, sf_dir):
     )
 
 
+# Oracles whose SQL embeds constants derived from ONE scale factor's data
+# (the driver's fixed correctness scale). check_oracle.py downgrades these
+# to rows-only at any other sf_dir: the Spark query trains on the given
+# corpus, so comparing it against another scale's inlined codebook would
+# flag a correct query as FAIL.
+SF_PINNED_ORACLES = {"ann_ivf_kmeans": "sf0.01"}
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     from caterpillar_spark.operators.similarity import cosine_neardup_pairs
 
@@ -1097,7 +1105,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sample_random": """
           SELECT event_id, user_id FROM events
-          ORDER BY substring(md5(CAST(event_id AS VARCHAR)), 1, 8) ASC
+          ORDER BY md5(CAST(event_id AS VARCHAR)) ASC
           LIMIT 200
         """,
         "union": """

@@ -108,5 +108,13 @@ def random_n_hash(df: DataFrame, key: str, n: int, salt: str = "") -> DataFrame:
     """Deterministic n-row sample: the n smallest md5(salt || key) values.
     Same reproducibility argument as :func:`percent_hash`; Spark executes
     orderBy+limit as a per-partition top-n merged on the driver
-    (TakeOrderedAndProject), so it never global-sorts the input."""
-    return df.orderBy(_hash_hex8(key, salt).asc()).limit(n)
+    (TakeOrderedAndProject), so it never global-sorts the input.
+
+    Orders by the FULL 128-bit digest, not the 8-hex prefix percent_hash
+    thresholds on: a 32-bit rank has ~N/2^32 odds of a tie at the n-th
+    boundary (~20% at 10^9 rows), and a tie there is broken by partition
+    encounter order — nondeterministic and engine-divergent."""
+    s = F.col(key).cast("string")
+    if salt:
+        s = F.concat(F.lit(salt), s)
+    return df.orderBy(F.md5(s).asc()).limit(n)

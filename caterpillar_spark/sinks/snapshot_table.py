@@ -531,7 +531,12 @@ class SnapshotTable:
     def bucket_for_key(self, conv_id: str) -> int:
         """Bucket id of one conv_id — the same ``pmod(xxhash64(conv_id),
         n_buckets)`` the writer routes by, computed driver-side with zero
-        Spark jobs (:func:`xxhash64_bytes` is the JVM-parity twin)."""
+        Spark jobs (:func:`xxhash64_bytes` is the JVM-parity twin).
+
+        STRING keys only: Spark's ``xxhash64`` of a non-string column
+        hashes its native binary encoding, not the decimal string — so
+        this inverse (and the pruning built on it) is gated on the
+        table's conv_id field being StringType (see :meth:`read`)."""
         return xxhash64_bytes(str(conv_id).encode()) % self.n_buckets
 
     def _pruned_key_paths(
@@ -587,7 +592,25 @@ class SnapshotTable:
             keys = [str(k) for k in (
                 conv_id if isinstance(conv_id, (list, tuple, set)) else [conv_id]
             )]
-            paths, any_deltas = self._pruned_key_paths(snap, keys)
+            if not keys:
+                return self.spark.createDataFrame(
+                    [], self.payload_schema(snap)
+                    if not include_deleted else self._stored_schema(snap)
+                )
+            key_field = next(
+                f for f in self.payload_schema(snap).fields if f.name == "conv_id"
+            )
+            if isinstance(key_field.dataType, T.StringType):
+                paths, any_deltas = self._pruned_key_paths(snap, keys)
+            else:
+                # non-string key: the driver-side xxhash64 inverse hashes
+                # the STRING bytes, which diverges from the writer's
+                # native-typed routing — pruning would scan the wrong
+                # bucket and silently return nothing. Fall back to the
+                # full bucket set; the equality filter below still pushes
+                # into the parquet scan.
+                paths = self._bucket_paths(snap, list(range(self.n_buckets)))
+                any_deltas = snap.has_deltas()
             df = self._read_files(snap, paths).filter(
                 F.col("conv_id") == keys[0]
                 if len(keys) == 1

@@ -89,7 +89,7 @@ def test_hash_sampling_deterministic(spark):
     top = random_n_hash(df, "k", 50)
     got = sorted(r["k"] for r in top.collect())
     expect_n = sorted(
-        sorted(range(1000), key=lambda i: _hl.md5(str(i).encode()).hexdigest()[:8])[:50]
+        sorted(range(1000), key=lambda i: _hl.md5(str(i).encode()).hexdigest())[:50]
     )
     assert got == expect_n
 

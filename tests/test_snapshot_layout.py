@@ -242,6 +242,38 @@ def test_point_lookup_read_prunes_to_one_buckets_files(spark, tmp_path):
     tbl.merge(_events(spark, [(900, "D", key, 0, None)]), 2, (900, 900))
     assert tbl.read(conv_id=key).count() == 0
 
+    # an empty key list is an empty read, not a min()-of-[] crash
+    empty = tbl.read(conv_id=[])
+    assert empty.count() == 0
+    assert empty.columns == tbl.read().columns
+
+
+def test_point_lookup_nonstring_key_falls_back_unpruned(spark, tmp_path):
+    """A table whose conv_id is NOT a string cannot use the driver-side
+    xxhash64 inverse (Spark hashes the native binary encoding, not the
+    decimal string) — read(conv_id=...) must fall back to the full bucket
+    set and still return the right rows rather than silently scanning the
+    wrong bucket and returning nothing."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.LongType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    tbl = SnapshotTable(spark, str(tmp_path / "tl"), n_buckets=8).create(schema)
+    rows = [(int(i), 0, f"v:{i}") for i in range(64)]
+    ev = spark.createDataFrame(
+        [(i, "I", *r) for i, r in enumerate(rows)],
+        "lsn long, op string, conv_id long, turn_idx int, text string",
+    )
+    tbl.merge(ev, 0, (0, 63))
+    hit = tbl.read(conv_id=7).collect()
+    assert [(r["conv_id"], r["text"]) for r in hit] == [(7, "v:7")]
+    assert sorted(r["conv_id"] for r in tbl.read(conv_id=[3, 9]).collect()) == [3, 9]
+
 
 def test_point_lookup_skips_reduce_on_delta_free_pruned_set(spark, tmp_path):
     """A point lookup whose pruned file set carries no deltas must read
