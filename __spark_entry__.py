@@ -534,9 +534,22 @@ def q_media_features(spark, sf_dir):
     return feats.select("media_id", "kind", "n_bytes", sig.alias("feature_sig"))
 
 
+# Fixed on-disk location for the generated changelog so the DuckDB oracle
+# (a static SQL string) can read the *same* segments the engine replayed.
+# The generator is a pure function of lsn (no rand/uuid/now), so the bytes
+# at this path are identical across runs regardless of sf_dir.
+CDC_FINAL_STATE_LOG = "/tmp/caterpillar_spark_oracle/cdc_final_state_log"
+
+
 def q_cdc_replay_final_state(spark, sf_dir):
-    """Full engine path on a generated change stream (non-SQL: snapshot
-    table on disk; rows-only check)."""
+    """Full engine path on a generated change stream: write the
+    deterministic changelog segments to a fixed path, replay them through
+    SnapshotTable (ledger + bucketed merge + tombstones), read the final
+    state. The DuckDB twin reduces the SAME on-disk segments (winner-lsn
+    join + tombstone drop), so the whole replay path is value-certified
+    against an independent engine. ``ts`` is projected as unix micros —
+    Spark collects naive-UTC datetimes while DuckDB's arrow side returns
+    tz-aware ones, which isoformat/hash differently despite equal instants."""
     import tempfile
 
     from pyspark.sql import types as T
@@ -546,8 +559,8 @@ def q_cdc_replay_final_state(spark, sf_dir):
     from caterpillar_spark.sinks import SnapshotTable
 
     spec = GeneratorSpec(n_events=20_000, n_convs=100, turns_per_conv=10, seed=42)
+    chunks = write_changelog_chunks(spark, spec, CDC_FINAL_STATE_LOG, n_chunks=4)
     work = tempfile.mkdtemp(prefix="cdc_entry_")
-    chunks = write_changelog_chunks(spark, spec, f"{work}/log", n_chunks=4)
     schema = T.StructType(
         [
             T.StructField("conv_id", T.StringType()),
@@ -560,7 +573,14 @@ def q_cdc_replay_final_state(spark, sf_dir):
     )
     tbl = SnapshotTable(spark, f"{work}/table", n_buckets=16).create(schema)
     replay_chunks(spark, chunks, tbl)
-    return tbl.read().orderBy("conv_id", "turn_idx")
+    return tbl.read().select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.unix_micros("ts").alias("ts_us"),
+    )
 
 
 def q_cdc_replay_events(spark, sf_dir):
@@ -1557,6 +1577,26 @@ def oracle_sql() -> dict[str, str]:
           )
           SELECT conv_id, turn_idx, role, text FROM w WHERE op <> 'D'
         """,
+        # the full on-disk replay path: reduce the SAME changelog segments
+        # the engine replayed (q_cdc_replay_final_state writes them to a
+        # fixed path first — the Spark side always runs before the oracle).
+        # winner-lsn join instead of max_by: lsn is globally unique, and the
+        # join keeps NULL payload fields (tool/text) attached to the winning
+        # row rather than trusting max_by's NULL-argument semantics.
+        "cdc_replay_final_state": f"""
+          WITH ev AS (
+            SELECT * FROM read_parquet(
+              '{CDC_FINAL_STATE_LOG}/chunk-*/*.parquet',
+              union_by_name = true)
+          ), wl AS (
+            SELECT conv_id, turn_idx, max(lsn) AS lsn
+            FROM ev GROUP BY conv_id, turn_idx
+          )
+          SELECT e.conv_id, e.turn_idx, e.role, e.text, e.tool,
+                 epoch_us(e.ts) AS ts_us
+          FROM ev e JOIN wl USING (conv_id, turn_idx, lsn)
+          WHERE e.op <> 'D'
+        """,
         # media pipeline: the stub decode (byte-histogram of the synthetic
         # 72-byte payload) is pure arithmetic — reproduced here byte-for-
         # byte; the 1e4 quantization absorbs the kernel's float32 rounding
@@ -1625,8 +1665,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, CAST(36 AS INTEGER) AS uuid_len FROM documents
         """,
         # rows-only (non-SQL-expressible or non-deterministic-by-design):
-        # cdc_replay_final_state (on-disk generator table; its oracle twin
-        # over shared input is cdc_replay_events), hmac_sha256/512/md5 and
+        # hmac_sha256/512/md5 and
         # rsa_sha256 (DuckDB has no HMAC/RSA, and its sha256 is
         # VARCHAR-only so the H(opad||H(ipad||m)) construction cannot
         # round-trip raw digest bytes; pytest-verified vs hashlib /
