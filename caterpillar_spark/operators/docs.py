@@ -83,10 +83,22 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     band_size: int = 2,
     shingle_w: int = 3,
+    max_bucket: int | str | None = "auto",
+    with_drop_stats: bool = False,
 ) -> DataFrame:
     """MinHash + LSH banding: near-dup candidate pairs (a < b) that share at
     least one band. shingle→minhash→band→bucket-join; the join key is
-    (band_idx, band hash) so it is fully blocked — no cross join."""
+    (band_idx, band hash) so it is fully blocked — no cross join.
+
+    ``max_bucket`` guards the within-bucket quadratic against degenerate
+    band keys (empty/boilerplate text at web scale): buckets holding more
+    rows than the cap are dropped before pairing, bounding candidates at
+    ``n·cap/2`` (see :mod:`caterpillar_spark.operators.lsh`). ``"auto"``
+    derives the cap from the corpus size; ``None`` disables the guard.
+    ``with_drop_stats`` appends a ``dropped_buckets`` lineage column so a
+    pipeline can observe how much the guard fired."""
+    from caterpillar_spark.operators.lsh import drop_hot_buckets, resolve_cap
+
     sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_w)
     n_bands = num_hashes // band_size
     bands = F.array(
@@ -107,6 +119,10 @@ def minhash_lsh_pairs(
     banded = sig.select(F.col(id_col), F.explode(bands).alias("band")).select(
         F.col(id_col).alias("id"), "band.band_idx", "band.band_key"
     )
+    cap = resolve_cap(max_bucket, df.count)
+    oversized = None
+    if cap is not None:
+        banded, oversized = drop_hot_buckets(banded, ["band_idx", "band_key"], cap)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -119,6 +135,17 @@ def minhash_lsh_pairs(
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
+    if with_drop_stats:
+        n_dropped = (
+            oversized.agg(F.count(F.lit(1)).alias("dropped_buckets"))
+            if oversized is not None
+            else None
+        )
+        pairs = (
+            pairs.withColumn("dropped_buckets", F.lit(0).cast("long"))
+            if n_dropped is None
+            else pairs.crossJoin(F.broadcast(n_dropped))
+        )
     return pairs
 
 

@@ -392,6 +392,7 @@ def cosine_neardup_pairs(
     n_tables: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | str | None = "auto",
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, LSH-blocked (pairs must share a
     bucket in at least one of ``n_tables`` plane sets — at high cosine
@@ -400,15 +401,36 @@ def cosine_neardup_pairs(
     ~linear as the corpus grows (scale safety is the default, not opt-in
     — VERDICT r3 what's-wrong #1); ``n_tables > 1`` OR-amplifies recall
     back (see :func:`lsh_bucketed_topk`). Pin ``n_planes`` explicitly for
-    reproducible oracle comparisons."""
+    reproducible oracle comparisons.
+
+    ``max_bucket`` drops degenerate buckets (e.g. a zero-vector pile-up
+    routing a huge row count to one bucket) before the self-join, bounding
+    candidates at ``n·cap/2`` — see
+    :mod:`caterpillar_spark.operators.lsh`. ``"auto"`` derives the cap
+    from the corpus size, ``None`` disables."""
+    from caterpillar_spark.operators.lsh import drop_hot_buckets, resolve_cap
+
+    n_rows: list[int] = []
+
+    def _count() -> int:
+        if not n_rows:
+            n_rows.append(df.count())
+        return n_rows[0]
+
     if n_planes is None:
-        n_planes = planes_for(df.count())
+        n_planes = planes_for(_count())
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    left = _multi_bucketed(base, "v", n_planes, dim, n_tables).toDF(
-        "id_a", "va", "lsh_table", "lsh_bucket"
+    banded = _multi_bucketed(base, "v", n_planes, dim, n_tables)
+    cap = resolve_cap(max_bucket, _count)
+    if cap is not None:
+        banded, _ = drop_hot_buckets(banded, ["lsh_table", "lsh_bucket"], cap)
+    left = banded.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        "lsh_table", "lsh_bucket",
     )
-    right = _multi_bucketed(base, "v", n_planes, dim, n_tables).toDF(
-        "id_b", "vb", "lsh_table", "lsh_bucket"
+    right = banded.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        "lsh_table", "lsh_bucket",
     )
     pairs = left.join(right, ["lsh_table", "lsh_bucket"]).filter(
         F.col("id_a") < F.col("id_b")
