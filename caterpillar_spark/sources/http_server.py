@@ -15,28 +15,101 @@ single-node stand-in with identical on-disk contract.
 
 from __future__ import annotations
 
+import base64
+import hmac
 import itertools
 import os
 import threading
 import time
+from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+# parity with the reference's accessDeniedError (server/auth.go:127-132)
+UNAUTHORIZED_BODY = b'{"ok":false, "error":"access denied"}'
+
+
+@dataclass(frozen=True)
+class AuthBehavior:
+    """Webhook auth config — behavior-selected like the reference's
+    ``authBehavior`` (``server/auth.go:15-21``, selection
+    ``server.go:77-87``): ``api-key`` checks every configured header for
+    an exact value, ``ip-whitelist`` checks the client IP (first
+    ``X-Forwarded-For`` entry, else the socket peer), ``basic-auth``
+    checks RFC 7617 credentials. Secret compares are constant-time."""
+
+    behavior: str
+    headers: dict[str, str] = field(default_factory=dict)
+    whitelist_ips: tuple[str, ...] = ()
+    username: str = ""
+    password: str = ""
+
+    BEHAVIORS = ("api-key", "ip-whitelist", "basic-auth")
+
+    def __post_init__(self):
+        if self.behavior not in self.BEHAVIORS:
+            # hard-error parity with server.go:85 ("unknown behavior")
+            raise ValueError(f"unknown behavior: {self.behavior}")
+
+    def allows(self, headers, client_ip: str) -> bool:
+        if self.behavior == "api-key":
+            return all(
+                hmac.compare_digest(headers.get(k) or "", v)
+                for k, v in self.headers.items()
+            )
+        if self.behavior == "ip-whitelist":
+            xff = headers.get("X-Forwarded-For") or ""
+            ip = xff.split(",")[0].strip() if xff.strip() else client_ip
+            return ip in set(self.whitelist_ips)
+        auth = headers.get("Authorization") or ""
+        if not auth.startswith("Basic "):
+            return False
+        try:
+            decoded = base64.b64decode(auth[len("Basic "):], validate=True)
+            user, _, pw = decoded.decode("utf-8").partition(":")
+        except Exception:
+            return False
+        if not _:  # no colon: not a credential pair (auth.go:96-99)
+            return False
+        return hmac.compare_digest(user, self.username) and hmac.compare_digest(
+            pw, self.password
+        )
 
 
 class WebhookSpool:
     """POST bodies -> one spool file each (atomic tmp+rename so the file
     stream never reads a partial write). Filenames sort in arrival order:
-    ``<epoch_ns>-<seq>.jsonl``."""
+    ``<epoch_ns>-<seq>.jsonl``. ``auth`` (an :class:`AuthBehavior`) guards
+    ingest the way the reference's middleware chain does — a rejected
+    request gets 401 + the JSON denial body and writes nothing."""
 
-    def __init__(self, spool_dir: str, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        spool_dir: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        auth: AuthBehavior | None = None,
+    ):
         self.spool_dir = spool_dir
         os.makedirs(spool_dir, exist_ok=True)
         self._seq = itertools.count()
         self._received = 0
+        self._denied = 0
         self._lock = threading.Lock()  # handlers run on server threads
         spool = self
 
         class Handler(BaseHTTPRequestHandler):
             def do_POST(self):  # noqa: N802 (stdlib casing)
+                if auth is not None and not auth.allows(
+                    self.headers, self.client_address[0]
+                ):
+                    with spool._lock:
+                        spool._denied += 1
+                    self.send_response(401)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(UNAUTHORIZED_BODY)))
+                    self.end_headers()
+                    self.wfile.write(UNAUTHORIZED_BODY)
+                    return
                 n = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(n)
                 name = f"{time.time_ns()}-{next(spool._seq):06d}.jsonl"
@@ -64,6 +137,10 @@ class WebhookSpool:
     @property
     def received(self) -> int:
         return self._received
+
+    @property
+    def denied(self) -> int:
+        return self._denied
 
     def start(self) -> "WebhookSpool":
         self._thread = threading.Thread(

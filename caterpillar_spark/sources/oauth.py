@@ -202,6 +202,15 @@ def oauth1_header(
 
     ``nonce_fn``/``timestamp_fn`` inject determinism; defaults use
     ``secrets``/wall-clock like the reference.
+
+    Endpoint-query caveat (ADVICE r5): the query is parsed with
+    ``parse_qsl``, which decodes ``+`` as a space and percent-decodes
+    values before they are re-encoded into the base string. That is
+    deliberate parity — the reference's ``parsedURL.Query()`` (Go
+    ``url.ParseQuery``) does exactly the same — but it means the
+    ``endpoint`` query must be RFC 3986 percent-encoded: write a literal
+    plus as ``%2B``, never ``+``. A raw ``+`` signs as a space on both
+    sides, matching the reference against the same server config.
     """
     if nonce_fn is None:
         import secrets

@@ -402,6 +402,24 @@ def test_oauth1_header_signature_deterministic_and_correct():
     assert f'oauth_signature="{expected_sig}"' in hdr
 
 
+def test_oauth1_query_plus_decodes_as_space_like_reference():
+    """Pin the documented endpoint-query semantics (ADVICE r5): a raw '+'
+    in the query signs as a space — parity with Go url.ParseQuery in
+    oauth1.go:75 — while %2B signs as a literal plus. Callers must supply
+    RFC 3986 percent-encoded queries."""
+    from caterpillar_spark.sources.oauth import oauth1_header
+
+    kw = dict(
+        consumer_key="ck", consumer_secret="cs", token="tk", token_secret="ts",
+        nonce_fn=lambda: "n", timestamp_fn=lambda: 1_700_000_000,
+    )
+    raw_plus = oauth1_header("GET", "https://h/p?q=a+b", **kw)
+    space = oauth1_header("GET", "https://h/p?q=a%20b", **kw)
+    literal = oauth1_header("GET", "https://h/p?q=a%2Bb", **kw)
+    assert raw_plus == space  # '+' means space, as in the reference
+    assert literal != space  # %2B survives as a literal plus
+
+
 def test_paginate_with_retry_wrapper(spark):
     """The retry= kwarg wires with_retries into the pagination loop."""
     flaky_pages = _Flaky(
@@ -493,6 +511,109 @@ def test_webhook_spool_feeds_file_source(spark, tmp_path):
         (1, "rec1"),
         (2, "rec2"),
     ]
+
+
+def _post(url, body=b"{}", headers=None):
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(url, data=body, method="POST")
+    for k, v in (headers or {}).items():
+        req.add_header(k, v)
+    try:
+        import urllib.request as _ur
+
+        with _ur.urlopen(req, timeout=10) as resp:
+            return resp.status, resp.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read()
+
+
+def test_webhook_auth_api_key(tmp_path):
+    """api-key middleware parity (server/auth.go:23-34): every configured
+    header must match exactly; rejects get 401 + JSON denial and spool
+    nothing."""
+    from caterpillar_spark.sources.http_server import AuthBehavior, WebhookSpool
+
+    auth = AuthBehavior("api-key", headers={"X-Api-Key": "s3cret"})
+    spool = WebhookSpool(str(tmp_path / "s"), auth=auth).start()
+    try:
+        host, port = spool.address
+        url = f"http://{host}:{port}/ingest"
+        code, body = _post(url)  # missing header
+        assert code == 401 and b"access denied" in body
+        code, _ = _post(url, headers={"X-Api-Key": "wrong"})
+        assert code == 401
+        code, _ = _post(url, headers={"X-Api-Key": "s3cret"})
+        assert code == 202
+        assert spool.received == 1 and spool.denied == 2
+    finally:
+        spool.stop()
+    import os
+
+    assert len(os.listdir(str(tmp_path / "s"))) == 1
+
+
+def test_webhook_auth_ip_whitelist(tmp_path):
+    """ip-whitelist parity (auth.go:36-53 + getClientIP 104-125): the first
+    X-Forwarded-For entry wins; without it the socket peer is checked."""
+    from caterpillar_spark.sources.http_server import AuthBehavior, WebhookSpool
+
+    auth = AuthBehavior("ip-whitelist", whitelist_ips=("10.0.0.7", "127.0.0.1"))
+    spool = WebhookSpool(str(tmp_path / "s"), auth=auth).start()
+    try:
+        host, port = spool.address
+        url = f"http://{host}:{port}/ingest"
+        code, _ = _post(url)  # peer is 127.0.0.1 -> allowed
+        assert code == 202
+        code, _ = _post(url, headers={"X-Forwarded-For": "10.0.0.7, 1.2.3.4"})
+        assert code == 202  # first XFF entry is the client
+        code, _ = _post(url, headers={"X-Forwarded-For": "8.8.8.8"})
+        assert code == 401  # XFF overrides the (allowed) peer
+    finally:
+        spool.stop()
+
+    import pytest
+
+    deny_all = AuthBehavior("ip-whitelist")
+    spool2 = WebhookSpool(str(tmp_path / "s2"), auth=deny_all).start()
+    try:
+        host, port = spool2.address
+        code, _ = _post(f"http://{host}:{port}/ingest")
+        assert code == 401
+    finally:
+        spool2.stop()
+    with pytest.raises(ValueError, match="unknown behavior"):
+        AuthBehavior("bearer")
+
+
+def test_webhook_auth_basic(tmp_path):
+    """basic-auth parity (auth.go:55-73 + extractBasicAuth 76-102)."""
+    import base64
+
+    from caterpillar_spark.sources.http_server import AuthBehavior, WebhookSpool
+
+    auth = AuthBehavior("basic-auth", username="alice", password="pw:with:colons")
+    spool = WebhookSpool(str(tmp_path / "s"), auth=auth).start()
+    try:
+        host, port = spool.address
+        url = f"http://{host}:{port}/ingest"
+
+        def basic(u, p):
+            tok = base64.b64encode(f"{u}:{p}".encode()).decode()
+            return {"Authorization": f"Basic {tok}"}
+
+        assert _post(url)[0] == 401  # no header
+        assert _post(url, headers={"Authorization": "Bearer x"})[0] == 401
+        assert _post(url, headers={"Authorization": "Basic !!!"})[0] == 401
+        assert _post(url, headers={"Authorization": "Basic dXNlcg=="})[0] == 401  # no colon
+        assert _post(url, headers=basic("alice", "nope"))[0] == 401
+        assert _post(url, headers=basic("bob", "pw:with:colons"))[0] == 401
+        # password itself may contain colons (SplitN(.., 2) parity)
+        assert _post(url, headers=basic("alice", "pw:with:colons"))[0] == 202
+        assert spool.received == 1
+    finally:
+        spool.stop()
 
 
 # ------------------------------------------------------------ kafka parse
