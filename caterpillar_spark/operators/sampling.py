@@ -25,7 +25,7 @@ def tail(df: DataFrame, order: str, n: int) -> DataFrame:
     return last.orderBy(F.col(order).asc())
 
 
-@register("sample_nth")
+@register("sample_nth_positional")
 def nth(df: DataFrame, order: str, divider: int) -> DataFrame:
     """``nth`` filter (task/sample/nth.go:22-32): every divider-th record by
     position (0-based index % divider == 0).
@@ -67,11 +67,17 @@ def random_n(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
     return df.orderBy(F.rand(seed)).limit(n)
 
 
+@register("sample_nth")
 @register("sample_nth_keyed")
 def nth_keyed(df: DataFrame, order: str, divider: int) -> DataFrame:
     """Scale-friendly nth: uses the (dense, unique) order column value
     directly instead of a global row_number window — no single-task sort.
-    Equivalent to `nth` when `order` is dense from 0 (e.g. the LSN)."""
+    Equivalent to `nth` when `order` is dense from 0 (e.g. the LSN).
+
+    This is the PRIMARY ``sample_nth`` registry entry (r6): a pipeline
+    config asking for nth sampling gets the pushdown-friendly filter; the
+    positional window form stays available as ``sample_nth_positional``
+    for small-data parity runs."""
     return df.filter(F.col(order) % divider == 0)
 
 
@@ -113,7 +119,13 @@ def random_n_hash(df: DataFrame, key: str, n: int, salt: str = "") -> DataFrame:
     Orders by the FULL 128-bit digest, not the 8-hex prefix percent_hash
     thresholds on: a 32-bit rank has ~N/2^32 odds of a tie at the n-th
     boundary (~20% at 10^9 rows), and a tie there is broken by partition
-    encounter order — nondeterministic and engine-divergent."""
+    encounter order — nondeterministic and engine-divergent.
+
+    PRECONDITION: ``key`` values must be UNIQUE (ADVICE r5). Duplicate
+    keys hash to identical digests, and the n-th-boundary tie between
+    them is again broken by partition encounter order. With a non-unique
+    key, pass a composite (e.g. ``F.concat(key, lsn)`` materialized as a
+    column) or accept a nondeterministic boundary row."""
     s = F.col(key).cast("string")
     if salt:
         s = F.concat(F.lit(salt), s)

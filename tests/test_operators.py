@@ -152,3 +152,15 @@ def test_minhash_lsh_finds_planted_neardups(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(df).collect()}
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_sample_nth_registry_points_at_keyed_form():
+    """`sample_nth` in the op registry must be the pushdown-friendly keyed
+    filter (r6 promotion); the global-window positional form stays reachable
+    under its own explicit name only."""
+    from caterpillar_spark.operators import REGISTRY
+    from caterpillar_spark.operators.sampling import nth, nth_keyed
+
+    assert REGISTRY["sample_nth"] is nth_keyed
+    assert REGISTRY["sample_nth_keyed"] is nth_keyed
+    assert REGISTRY["sample_nth_positional"] is nth
