@@ -589,9 +589,15 @@ class SnapshotTable:
         region of a delta-carrying table still skips the aggregate."""
         snap = self.snapshot(version)
         if conv_id is not None:
-            keys = [str(k) for k in (
+            orig_keys = list(
                 conv_id if isinstance(conv_id, (list, tuple, set)) else [conv_id]
-            )]
+            )
+            # stringified keys feed only the hash/range PRUNING path; the
+            # equality filter uses the caller's untouched values so a
+            # non-string key column never relies on an implicit cast of a
+            # str() repr (ANSI throws on non-castable, '7.0' may not
+            # round-trip a float key — ADVICE r5)
+            keys = [str(k) for k in orig_keys]
             if not keys:
                 return self.spark.createDataFrame(
                     [], self.payload_schema(snap)
@@ -602,6 +608,7 @@ class SnapshotTable:
             )
             if isinstance(key_field.dataType, T.StringType):
                 paths, any_deltas = self._pruned_key_paths(snap, keys)
+                orig_keys = keys  # string column: compare str() forms
             else:
                 # non-string key: the driver-side xxhash64 inverse hashes
                 # the STRING bytes, which diverges from the writer's
@@ -612,9 +619,9 @@ class SnapshotTable:
                 paths = self._bucket_paths(snap, list(range(self.n_buckets)))
                 any_deltas = snap.has_deltas()
             df = self._read_files(snap, paths).filter(
-                F.col("conv_id") == keys[0]
-                if len(keys) == 1
-                else F.col("conv_id").isin(keys)
+                F.col("conv_id") == F.lit(orig_keys[0])
+                if len(orig_keys) == 1
+                else F.col("conv_id").isin(orig_keys)
             )
         else:
             any_deltas = snap.has_deltas()

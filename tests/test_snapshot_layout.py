@@ -275,6 +275,32 @@ def test_point_lookup_nonstring_key_falls_back_unpruned(spark, tmp_path):
     assert sorted(r["conv_id"] for r in tbl.read(conv_id=[3, 9]).collect()) == [3, 9]
 
 
+def test_point_lookup_float_key_uses_native_values(spark, tmp_path):
+    """Float conv_id: the equality filter must compare the caller's native
+    value, not a str() repr relied on to implicitly cast back ('7.0' and
+    0.1's repr don't round-trip; ANSI throws on non-castable — ADVICE r5)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.DoubleType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    tbl = SnapshotTable(spark, str(tmp_path / "tf"), n_buckets=4).create(schema)
+    keys = [0.1, 7.0, 2.5, 1e-3]
+    ev = spark.createDataFrame(
+        [(i, "I", k, 0, f"v:{k}") for i, k in enumerate(keys)],
+        "lsn long, op string, conv_id double, turn_idx int, text string",
+    )
+    tbl.merge(ev, 0, (0, len(keys) - 1))
+    assert [r["text"] for r in tbl.read(conv_id=0.1).collect()] == ["v:0.1"]
+    assert sorted(
+        r["conv_id"] for r in tbl.read(conv_id=[7.0, 1e-3]).collect()
+    ) == [1e-3, 7.0]
+
+
 def test_point_lookup_skips_reduce_on_delta_free_pruned_set(spark, tmp_path):
     """A point lookup whose pruned file set carries no deltas must read
     with zero aggregates even when OTHER buckets hold deltas — and a
