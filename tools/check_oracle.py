@@ -8,6 +8,7 @@ Usage: python tools/check_oracle.py [sf_dir] [only_query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -137,9 +138,10 @@ def main():
             n_fail += 1
             continue
         pinned_sf = getattr(entrymod, "SF_PINNED_ORACLES", {}).get(name)
-        if name not in oracles or (
-            pinned_sf and not sf_dir.rstrip("/").endswith(pinned_sf)
-        ):
+        # exact basename compare, not endswith: 'mysf0.01' must not enable a
+        # scale-pinned oracle against the wrong corpus (ADVICE r5)
+        sf_base = os.path.basename(sf_dir.rstrip("/"))
+        if name not in oracles or (pinned_sf and sf_base != pinned_sf):
             status = "ROWS-ONLY"
             note = f" (oracle pinned to {pinned_sf})" if pinned_sf else ""
             print(f"{status:9s} {name}: rows={len(srows)}{note} "
