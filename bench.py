@@ -111,6 +111,37 @@ def run_cdc_bench(spark, n_events: int, n_chunks: int = 4) -> dict:
     }
 
 
+def _regression_gate(
+    per_query: dict[str, float], factor: float = 1.5
+) -> tuple[str | None, dict[str, list[float]]]:
+    """Compare this run's per-query medians against the newest recorded
+    round file (``BENCH_r*.json`` beside this script). Returns the prior
+    file name and ``{query: [prior_sec, now_sec]}`` for every query whose
+    median exceeds ``factor``× the prior value. Prior rounds only record
+    values at sf0.1, so the gate stays silent at other scales."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    priors = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if not priors or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1").rstrip(
+        "/"
+    ).rsplit("/", 1)[-1] != "sf0.1":
+        return None, {}
+    try:
+        with open(priors[-1]) as f:
+            prior = json.load(f).get("queries", {})
+    except Exception:
+        return None, {}
+    hits = {
+        name: [prior[name], now]
+        for name, now in per_query.items()
+        if isinstance(prior.get(name), (int, float))
+        and prior[name] > 0
+        and now > factor * prior[name]
+    }
+    return os.path.basename(priors[-1]), hits
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # default 16, PINNED: this host's 32 vCPUs are SMT-oversubscribed
@@ -130,19 +161,31 @@ def main() -> None:
     spark = get_spark("caterpillar-bench", cores=cores)
 
     qs = entrymod.queries()
-    per_query: dict[str, float] = {}
-    total = 0.0
     # untimed JVM/JIT warm-up BEFORE the timed loop: without it the first
     # timed query absorbs whole-stage-codegen + C2 compilation cost and
     # per-query numbers aren't comparable round over round
     qs[BENCH_QUERIES[0]](spark, sf_dir).count()
-    for name in BENCH_QUERIES:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        df.count()  # force full execution
-        dt = time.time() - t0
-        per_query[name] = round(dt, 3)
-        total += dt
+    # N full INTERLEAVED suite passes (median per query): host throughput
+    # drifts several-fold over minutes here, so a single sequential pass
+    # can't tell a 40% regression from a throttle window — medians over
+    # interleaved passes put every query under ~the same average host
+    # (VERDICT r5 next-round #4)
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
+    samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    for _ in range(passes):
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            df.count()  # force full execution
+            samples[name].append(time.time() - t0)
+    per_query: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
+    total = 0.0
+    for name, ts in samples.items():
+        med = sorted(ts)[len(ts) // 2]
+        per_query[name] = round(med, 3)
+        spread[name] = [round(min(ts), 3), round(max(ts), 3)]
+        total += med
 
     # untimed JIT warm-up (a fresh JVM's first replays run ~4x slow while
     # C2 compiles the merge path; steady-state is what 10^10-event replay
@@ -167,6 +210,11 @@ def main() -> None:
     except Exception:
         host = None
 
+    # regression gate vs the newest recorded round (>1.5x the prior
+    # median fires; the probe ratio is attached so a throttled-host hit
+    # can be discounted by the reader instead of silently suppressed)
+    prior_round, regressions = _regression_gate(per_query)
+
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
     print(
         json.dumps(
@@ -175,11 +223,15 @@ def main() -> None:
                 "value": round(total, 2),
                 "unit": "sec",
                 "queries": per_query,
+                "query_spread": spread,
+                "bench_passes": passes,
                 "sf": sf,
                 "cdc_replay": cdc,
                 "cores": cores,
                 "host_probe_matmul_per_sec": host,
                 "cdc_runs_sec": [r["seconds"] for r in runs],
+                "prior_round": prior_round,
+                "regressions": regressions,
             }
         )
     )

@@ -63,3 +63,29 @@ def test_regate_admits_clean_and_excludes_depressed():
 
 def test_regate_skips_early_format_records():
     assert regate({"timestamp": "t"}) is None
+
+
+def test_bench_regression_gate_fires_and_stays_silent(tmp_path, monkeypatch):
+    """bench.py's regression gate: >1.5x the prior round's median fires,
+    smaller drift doesn't, and non-sf0.1 runs are silent (prior rounds only
+    recorded sf0.1 numbers)."""
+    import json
+
+    import bench
+
+    prior = {"queries": {"q_fast": 1.0, "q_slow": 2.0, "q_new": None}}
+    monkeypatch.setattr(
+        bench.os.path, "dirname", lambda p: str(tmp_path)
+    )
+    (tmp_path / "BENCH_r05.json").write_text(json.dumps(prior))
+
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    name, hits = bench._regression_gate(
+        {"q_fast": 1.6, "q_slow": 2.2, "q_extra": 9.9}
+    )
+    assert name == "BENCH_r05.json"
+    assert hits == {"q_fast": [1.0, 1.6]}  # 1.6x fires; 1.1x doesn't
+
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    name2, hits2 = bench._regression_gate({"q_fast": 99.0})
+    assert name2 is None and hits2 == {}
