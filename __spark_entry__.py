@@ -849,6 +849,116 @@ def q_payload_compress(spark, sf_dir):
     )
 
 
+def _proto_event_spec():
+    """Descriptor for the protobuf-converter roundtrip: one field per wire
+    family (two's-complement varint, zigzag varint, LEN string, fixed64
+    double, sfixed64) so the oracle certifies every codec branch."""
+    from caterpillar_spark.sources.protowire import PField
+
+    return {
+        1: PField("event_id", "int64"),
+        2: PField("user_id", "sint64"),
+        3: PField("event_type", "string"),
+        4: PField("value", "double"),
+        5: PField("ts_us", "sfixed64"),
+        6: PField("props", "string"),
+    }
+
+
+def q_protobuf_roundtrip(spark, sf_dir):
+    """converter: protobuf parity (``protobuf.go:39-131``) without the
+    spark-protobuf jar: events -> wire-format bytes (pandas-UDF encode) ->
+    ``decode_protobuf_rows`` -> protojson -> typed columns. Both directions
+    are Arrow-batched and per-row independent (zero shuffle); the oracle
+    certifies the codec reproduces every field bit-exact (doubles included
+    — repr shortest-round-trip through JSON is lossless)."""
+    from pyspark.sql import types as T
+
+    from caterpillar_spark.sources.protowire import (
+        decode_protobuf_rows,
+        encode_protobuf_rows,
+    )
+
+    spec = _proto_event_spec()
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "props",
+    )
+    blobs = encode_protobuf_rows(ev, spec, out_col="data")
+    decoded = decode_protobuf_rows(blobs, "data", spec, drop_input=True)
+    j = T.StructType(
+        [
+            T.StructField("eventId", T.StringType()),
+            T.StructField("userId", T.StringType()),
+            T.StructField("eventType", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("tsUs", T.StringType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    return decoded.select(F.from_json("record", j).alias("r")).select(
+        F.col("r.eventId").cast("long").alias("event_id"),
+        F.col("r.userId").cast("long").alias("user_id"),
+        F.col("r.eventType").alias("event_type"),
+        F.col("r.value").alias("value"),
+        F.col("r.tsUs").cast("long").alias("ts_us"),
+        F.col("r.props").alias("props"),
+    )
+
+
+def q_kafka_read_committed(spark, sf_dir):
+    """kafka source semantics without a broker (``kafka.go:203-301,407``):
+    the first 240 events become changelog records produced through the
+    ``LogBroker`` double — one committed transaction, one aborted, one
+    idempotent non-transactional producer — and the read_committed
+    consumer's visible set flows through ``parse_changelog_json``. The
+    oracle re-derives visibility (committed + non-transactional) in SQL.
+    Broker state is driver-side by design (it is the test double;
+    production traffic uses ``stream_kafka_changelog``), so the corpus is
+    bounded by a pushdown filter on event_id, not a collect of the table."""
+    import json as _json
+
+    from caterpillar_spark.sources.kafka import parse_changelog_json
+    from caterpillar_spark.sources.kafka_double import LogBroker, topic_to_dataframe
+
+    rows = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_id") < 240)
+        .select("event_id", "user_id", "event_type")
+        .collect()
+    )
+    b = LogBroker()
+    b.create_topic("changelog", partitions=4)
+    p_commit = b.producer(transactional_id="cdc-commit")
+    p_abort = b.producer(transactional_id="cdc-abort")
+    p_plain = b.producer(idempotent=True)
+    for r in sorted(rows, key=lambda r: r.event_id):
+        evt = {
+            "lsn": int(r.event_id),
+            "op": "delete" if r.event_id % 5 == 0 else "upsert",
+            "conv_id": f"u{r.user_id}",
+            "turn_idx": int(r.event_id % 7),
+            "text": r.event_type,
+        }
+        prod = (p_commit, p_abort, p_plain)[r.event_id % 3]
+        prod.send(
+            "changelog",
+            _json.dumps(evt, separators=(",", ":")).encode(),
+            key=evt["conv_id"].encode(),
+        )
+    for prod in (p_commit, p_abort, p_plain):
+        prod.flush()
+        prod.ack_flush()
+    p_commit.commit_txn()
+    p_abort.abort_txn()
+    raw = topic_to_dataframe(spark, b, "changelog")
+    return parse_changelog_json(raw).select("lsn", "op", "conv_id", "turn_idx", "text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness run covers the FIRST 50
     # entries (CORRECTNESS_r03 recorded exactly keys 1-50 — VERDICT r3
@@ -922,6 +1032,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_nth": q_sample_nth,
         "sample_percent": q_sample_percent,
         "sample_random": q_sample_random,
+        # r6: the two formerly-gated converters/sources, now executable and
+        # hash-verified via dependency-free twins (pure wire codec; broker
+        # semantics double)
+        "protobuf_roundtrip": q_protobuf_roundtrip,
+        "kafka_read_committed": q_kafka_read_committed,
     }
 
 
@@ -1663,6 +1778,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "uuid": """
           SELECT doc_id, CAST(36 AS INTEGER) AS uuid_len FROM documents
+        """,
+        # protobuf converter roundtrip: encode->decode must be the identity,
+        # so the oracle is the source projection itself (ts as unix micros,
+        # the naive-UTC convention both engines share)
+        "protobuf_roundtrip": """
+          SELECT event_id, user_id, event_type, value,
+                 epoch_us(ts) AS ts_us, props
+          FROM events
+        """,
+        # kafka read_committed visibility: committed txn (event_id%3=0) and
+        # non-transactional (%3=2) records surface; aborted (%3=1) never do
+        "kafka_read_committed": """
+          SELECT event_id AS lsn,
+                 CASE WHEN event_id % 5 = 0 THEN 'delete'
+                      ELSE 'upsert' END AS op,
+                 'u' || CAST(user_id AS VARCHAR) AS conv_id,
+                 CAST(event_id % 7 AS INTEGER) AS turn_idx,
+                 event_type AS text
+          FROM events
+          WHERE event_id < 240 AND event_id % 3 <> 1
         """,
         # rows-only (non-SQL-expressible or non-deterministic-by-design):
         # hmac_sha256/512/md5 and
