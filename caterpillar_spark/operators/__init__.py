@@ -13,6 +13,30 @@ from pyspark.sql import DataFrame
 REGISTRY: dict[str, Callable[..., DataFrame]] = {}
 
 
+def fan_out(df: DataFrame, key: str | None = None) -> DataFrame:
+    """Spread an under-parallelized input across the cluster before
+    CPU-heavy per-row work (guide §2.5 "input skew": one unsplittable
+    file — here, single-row-group parquet, which Spark cannot split below
+    file level — serializes every downstream map op onto one task).
+
+    No-op when the scan already has >= ``defaultParallelism`` partitions,
+    so at production scale (thousands of splits) this never adds a
+    shuffle; on a narrow input it costs one exchange of the projected
+    columns and buys back the whole cluster. Hash-partitioning on
+    ``key`` keeps the placement deterministic (guide §2.5 warns against
+    rand-derived keys under task retry) and skips round-robin's
+    sort-before-repartition pass."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    from pyspark.sql import functions as F
+
+    if key is not None:
+        return df.repartition(target, F.col(key))
+    return df.repartition(target)
+
+
 def register(name: str):
     def deco(fn):
         REGISTRY[name] = fn

@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from caterpillar_spark.functions import shared_hash64
-from caterpillar_spark.operators import register
+from caterpillar_spark.operators import fan_out, register
 
 STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
 
@@ -46,6 +46,34 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 # ------------------------------------------------------------------- minhash
+def _shingle_array(text: Column, w: int) -> Column:
+    """Distinct w-word shingles of ``text`` as one array column.
+
+    Built by zipping the word array against its own 1..w-1 shifted slices
+    (``zip_with`` pads the shorter side with null, and ``concat`` nulls
+    out the incomplete tail windows, which the final ``slice`` drops) —
+    NOT by ``transform(sequence(1, n-w+1), i -> array_join(slice(words,
+    i, w)))``: Catalyst inlines the ``split`` subtree into that lambda
+    and re-evaluates the full regex split once PER SHINGLE, which made
+    shingling quadratic in document length (measured 39s for a 50k-doc
+    corpus vs 12.6s for this construction — OPTIMIZATION_r07.md).
+    Documents shorter than ``w`` words keep the old semantics: one
+    shingle joining whatever words exist."""
+    words = _words(text)
+    n = F.size(words)
+    if w <= 1:
+        sh = words
+    else:
+        acc = words
+        for j in range(1, w):
+            shifted = F.slice(words, j + 1, F.greatest(n - j, F.lit(0)))
+            acc = F.zip_with(acc, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+        sh = F.when(n >= w, F.slice(acc, 1, n - w + 1)).otherwise(
+            F.array(F.array_join(F.slice(words, 1, w), " "))
+        )
+    return F.array_distinct(sh)
+
+
 def minhash_signature(
     df: DataFrame,
     text_col: str = "text",
@@ -56,23 +84,34 @@ def minhash_signature(
     """Per-doc MinHash signature over w-word shingles.
 
     shingle -> k hash family members H_i(s) = shared_hash64(i || ':' || s);
-    signature[i] = min over shingles. Exploding distinct shingles keeps the
-    shuffle linear in corpus token count, and the min-agg partial-combines
-    map-side."""
-    words = _words(F.col(text_col))
-    n = F.size(words)
-    idx = F.sequence(F.lit(1), F.greatest(n - shingle_w + 1, F.lit(1)))
-    shingles = F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(words, i, shingle_w), " "))
+    signature[i] = min over shingles, computed PER ROW with
+    ``array_min(transform(...))`` — a pure map, no explode, no shuffle
+    (the r7 rewrite of the explode + 8-way min-agg form, which paid a
+    full shuffle of every distinct shingle for an aggregation the row
+    already had locally). A null text yields the shingle array
+    ``[null]`` and therefore an all-null signature row — the same rows
+    the old explode-of-[null] path produced. No filter here: a filter on
+    the shingle column gets predicate-pushed below the fan-out exchange
+    and re-evaluates the whole shingle expression inside the single scan
+    task."""
+    shingles = _shingle_array(F.col(text_col), shingle_w)
+    # fan out BEFORE shingling: the exchange then carries raw text (a few
+    # hundred bytes/row), not shingle arrays, and the expensive md5 family
+    # runs on every core even when the input is one unsplittable file
+    narrow = fan_out(df.select(F.col(id_col), F.col(text_col)), id_col)
+    base = narrow.select(F.col(id_col), shingles.alias("_sh"))
+    return base.select(
+        F.col(id_col),
+        *[
+            F.array_min(
+                F.transform(
+                    "_sh",
+                    lambda s: shared_hash64(F.concat(F.lit(f"{i}:"), s)),
+                )
+            ).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
     )
-    exploded = df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
-    mins = [
-        F.min(
-            shared_hash64(F.concat(F.lit(f"{i}:"), F.col("shingle")))
-        ).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    return exploded.groupBy(id_col).agg(*mins)
 
 
 @register("dedup_minhash_lsh")
@@ -96,7 +135,17 @@ def minhash_lsh_pairs(
     ``n·cap/2`` (see :mod:`caterpillar_spark.operators.lsh`). ``"auto"``
     derives the cap from the corpus size; ``None`` disables the guard.
     ``with_drop_stats`` appends a ``dropped_buckets`` lineage column so a
-    pipeline can observe how much the guard fired."""
+    pipeline can observe how much the guard fired.
+
+    Pairing shape (r7): one shuffle keyed on (band_idx, band_key) into a
+    ``collect_list`` of sorted ids per bucket, then in-array combination
+    explode — NOT a bucket-keyed self-join. The self-join planned the
+    whole signature subtree once per join side (and the guard's anti-join
+    doubled it again: 4 full corpus passes in the physical plan); the
+    grouped form computes signatures once per guard side. Per-bucket list
+    size is bounded by ``cap`` BEFORE the collect (the guard anti-join
+    runs first), so the collected arrays stay metadata-sized even on
+    degenerate corpora."""
     from caterpillar_spark.operators.lsh import drop_hot_buckets, resolve_cap
 
     sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_w)
@@ -123,16 +172,24 @@ def minhash_lsh_pairs(
     oversized = None
     if cap is not None:
         banded, oversized = drop_hot_buckets(banded, ["band_idx", "band_key"], cap)
-    left = banded.alias("l")
-    right = banded.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col("l.band_idx") == F.col("r.band_idx"))
-            & (F.col("l.band_key") == F.col("r.band_key"))
-            & (F.col("l.id") < F.col("r.id")),
+    ids = F.array_sort(F.collect_list("id"))
+    # all (i < j) combinations of the sorted id list, as one array column:
+    # id ordering inside the bucket gives id_a < id_b for free
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids")) - i - 1),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
         )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+    )
+    pairs = (
+        banded.groupBy("band_idx", "band_key")
+        .agg(ids.alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode(combos).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
     )
     if with_drop_stats:
