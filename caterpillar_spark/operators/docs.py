@@ -215,24 +215,37 @@ def simhash(
     bits: int = 16,
 ) -> DataFrame:
     """Per-doc SimHash over word tokens (bit b set iff the sum of ±1 votes
-    from token hashes is positive). One explode + one hash agg."""
-    tokens = df.select(
-        F.col(id_col), F.explode(_words(F.col(text_col))).alias("tok")
-    ).withColumn("th", shared_hash64(F.col("tok")))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
-                -1
-            )
-        ).alias(f"v{b}")
-        for b in range(bits)
-    ]
-    agg = tokens.groupBy(id_col).agg(*votes)
+    from token hashes is positive). Computed PER ROW (r7): token hashes
+    once into an array, then one ``aggregate`` per bit — a pure map with
+    no explode, no shuffle, and each token md5-hashed exactly once
+    (the explode + 16-vote hash agg it replaces shuffled every token).
+    Vote sums are identical, so the output is bit-identical."""
+    # null text: the old explode dropped the doc; keep that by filtering
+    # on the raw column (a cheap IsNotNull that pushes into the scan)
+    narrow = fan_out(
+        df.select(F.col(id_col), F.col(text_col)).filter(
+            F.col(text_col).isNotNull()
+        ),
+        id_col,
+    )
+    hashed = narrow.select(
+        F.col(id_col),
+        F.transform(_words(F.col(text_col)), lambda t: shared_hash64(t)).alias(
+            "_th"
+        ),
+    )
+    def vote(b: int) -> Column:
+        return F.aggregate(
+            F.col("_th"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
     sim = None
     for b in range(bits):
-        term = F.when(F.col(f"v{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        term = F.when(vote(b) > 0, F.lit(2**b)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
-    return agg.select(F.col(id_col), sim.cast("long").alias("simhash"))
+    return hashed.select(F.col(id_col), sim.cast("long").alias("simhash"))
 
 
 # ------------------------------------------------------------ ngram jaccard
@@ -272,13 +285,13 @@ def ngram_jaccard_pairs(
     Output is IDENTICAL to the unfiltered join (prefix filtering is
     lossless for J >= t), which is what the DuckDB oracle checks.
     """
-    words = _words(F.col(text_col))
-    cnt = F.size(words)
-    idx = F.sequence(F.lit(1), F.greatest(cnt - n + 1, F.lit(1)))
-    grams = F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
-    )
-    toks = df.select(
+    # same zip_with construction as MinHash shingling (_shingle_array):
+    # the old transform(sequence(...), i -> slice(split(...))) form re-ran
+    # the regex split once per gram (quadratic in document length)
+    grams = _shingle_array(F.col(text_col), n)
+    toks = fan_out(
+        df.select(F.col(id_col), F.col(block_col), F.col(text_col)), id_col
+    ).select(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("blk"),
         F.explode(grams).alias("g"),

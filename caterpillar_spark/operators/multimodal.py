@@ -82,7 +82,13 @@ def extract_features(df: DataFrame, feat_dim: int = 8) -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+    # ship only the columns the kernel touches across the Arrow boundary
+    # (guide §4.1: Spark cannot see inside the function, so an unprojected
+    # mapInPandas serializes every column — mime/width/height/duration
+    # would cross for nothing)
+    return df.select("media_id", "kind", "payload").mapInPandas(
+        kernel, schema=FEATURE_SCHEMA
+    )
 
 
 @register("media_frame_sample")
@@ -103,12 +109,18 @@ def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 def synth_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests (payload bytes derived from
-    the id — no external data)."""
+    the id — no external data). Partition count scales with the row count
+    (~10k rows per Arrow batch) instead of inheriting ``range``'s default
+    ``defaultParallelism``: 128 rows over 32 partitions meant 32 Python
+    workers each fed a 4-row batch — pure per-task overhead."""
     kinds = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (F.col("id") % 3 + 1).cast("int"),
     )
-    return spark.range(n).select(
+    parts = max(
+        1, min(int(spark.sparkContext.defaultParallelism), n // 10_000 + 1)
+    )
+    return spark.range(0, n, 1, parts).select(
         F.col("id").alias("media_id"),
         kinds.alias("kind"),
         F.encode(

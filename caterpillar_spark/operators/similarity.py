@@ -17,7 +17,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from caterpillar_spark.functions import h64_py, shared_hash64
-from caterpillar_spark.operators import register
+from caterpillar_spark.operators import fan_out, register
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -50,15 +50,33 @@ def cosine_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k neighbors per query (brute force). The query side is
-    broadcast — the corpus is scanned once, never shuffled."""
+    broadcast — the corpus is scanned once, never shuffled.
+
+    The double-cast vectors and their norms are projected ONCE PER ROW on
+    each side BEFORE the join (r7): inside the join output every (query,
+    corpus) pair re-evaluated two array casts and two norm aggregates, so
+    a corpus row paid that work |Q| times. Same double arithmetic in the
+    same order — bit-identical scores."""
+    qd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        qd.alias("qvec"),
+        _norm(qd).alias("_qn"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    c = fan_out(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
+        "neighbor_id",
+    ).select(
+        "neighbor_id",
+        qd.alias("cvec"),
+        _norm(qd).alias("_cn"),
+    )
     scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("cos_sim"),
+        F.round(
+            _dot(F.col("qvec"), F.col("cvec")) / (F.col("_qn") * F.col("_cn")), 6
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")

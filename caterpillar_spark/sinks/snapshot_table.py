@@ -172,87 +172,42 @@ def murmur3_hash_int(value: int, seed: int = 42) -> int:
     return h1 - (1 << 32) if h1 >= (1 << 31) else h1
 
 
-_XX_P1 = 0x9E3779B185EBCA87
-_XX_P2 = 0xC2B2AE3D27D4EB4F
-_XX_P3 = 0x165667B19E3779F9
-_XX_P4 = 0x85EBCA77C2B2AE63
-_XX_P5 = 0x27D4EB2F165667C5
-_M64 = (1 << 64) - 1
-
-
-def _xx_rotl(x: int, r: int) -> int:
-    return ((x << r) | (x >> (64 - r))) & _M64
-
-
-def _xx_round(acc: int, inp: int) -> int:
-    return _xx_rotl((acc + inp * _XX_P2) & _M64, 31) * _XX_P1 & _M64
-
-
-def xxhash64_bytes(data: bytes, seed: int = 42) -> int:
-    """Spark's ``F.xxhash64`` of one string column: XXH64 (the public
-    xxHash spec, little-endian words) over the UTF-8 bytes, seed 42 —
-    same algorithm as org.apache.spark.sql.catalyst.expressions.XxHash64.
-    Signed-int64 result. Pure Python so a conv_id point lookup can route
-    to its bucket with ZERO Spark jobs (the read-side twin of merge's
-    murmur3-inverse routing); JVM parity is pinned by a test."""
-    n, i = len(data), 0
-    if n >= 32:
-        v1 = (seed + _XX_P1 + _XX_P2) & _M64
-        v2 = (seed + _XX_P2) & _M64
-        v3 = seed & _M64
-        v4 = (seed - _XX_P1) & _M64
-        while i + 32 <= n:
-            v1 = _xx_round(v1, int.from_bytes(data[i : i + 8], "little"))
-            v2 = _xx_round(v2, int.from_bytes(data[i + 8 : i + 16], "little"))
-            v3 = _xx_round(v3, int.from_bytes(data[i + 16 : i + 24], "little"))
-            v4 = _xx_round(v4, int.from_bytes(data[i + 24 : i + 32], "little"))
-            i += 32
-        h = (
-            _xx_rotl(v1, 1) + _xx_rotl(v2, 7) + _xx_rotl(v3, 12) + _xx_rotl(v4, 18)
-        ) & _M64
-        for v in (v1, v2, v3, v4):
-            h = ((h ^ _xx_round(0, v)) * _XX_P1 + _XX_P4) & _M64
-    else:
-        h = (seed + _XX_P5) & _M64
-    h = (h + n) & _M64
-    while i + 8 <= n:
-        h ^= _xx_round(0, int.from_bytes(data[i : i + 8], "little"))
-        h = (_xx_rotl(h, 27) * _XX_P1 + _XX_P4) & _M64
-        i += 8
-    if i + 4 <= n:
-        h ^= int.from_bytes(data[i : i + 4], "little") * _XX_P1 & _M64
-        h = (_xx_rotl(h, 23) * _XX_P2 + _XX_P3) & _M64
-        i += 4
-    while i < n:
-        h ^= data[i] * _XX_P5 & _M64
-        h = _xx_rotl(h, 11) * _XX_P1 & _M64
-        i += 1
-    h ^= h >> 33
-    h = h * _XX_P2 & _M64
-    h ^= h >> 29
-    h = h * _XX_P3 & _M64
-    h ^= h >> 32
-    return h - (1 << 64) if h >= (1 << 63) else h
-
-
-_ROUTE_CACHE: dict[int, dict[int, int]] = {}
-
-
-def route_map(n_buckets: int) -> dict[int, int]:
-    """bucket b -> smallest int r with pmod(murmur3(r), n) == b, i.e. the
-    inverse of Spark's HashPartitioning for int keys: ``repartition(n,
-    route)`` lands bucket b in shuffle partition b exactly."""
-    cached = _ROUTE_CACHE.get(n_buckets)
-    if cached is None:
-        cached = {}
-        v = 0
-        while len(cached) < n_buckets:
-            b = murmur3_hash_int(v) % n_buckets
-            if b not in cached:
-                cached[b] = v
-            v += 1
-        _ROUTE_CACHE[n_buckets] = cached
-    return cached
+def murmur3_hash_bytes(data: bytes, seed: int = 42) -> int:
+    """Spark's ``F.hash`` of one string column: Murmur3_x86_32 over the
+    UTF-8 bytes with Spark's byte-wise tail handling (each trailing byte
+    past the last aligned word is sign-extended and mixed as its own
+    round — org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes,
+    NOT the standard murmur3 tail). Signed-int32 result; seed 42. Pure
+    Python so bucket routing for point lookups needs ZERO Spark jobs —
+    the driver-side twin of the ``pmod(hash(conv_id), n_buckets)`` bucket
+    expression; JVM parity is pinned by a test."""
+    mask = 0xFFFFFFFF
+    h1 = seed & mask
+    n = len(data)
+    aligned = n - n % 4
+    for i in range(0, aligned, 4):
+        k1 = int.from_bytes(data[i : i + 4], "little")
+        k1 = k1 * 0xCC9E2D51 & mask
+        k1 = ((k1 << 15) | (k1 >> 17)) & mask
+        k1 = k1 * 0x1B873593 & mask
+        h1 ^= k1
+        h1 = ((h1 << 13) | (h1 >> 19)) & mask
+        h1 = (h1 * 5 + 0xE6546B64) & mask
+    for i in range(aligned, n):
+        b = data[i]
+        k1 = ((b - 256 if b > 127 else b) & mask) * 0xCC9E2D51 & mask
+        k1 = ((k1 << 15) | (k1 >> 17)) & mask
+        k1 = k1 * 0x1B873593 & mask
+        h1 ^= k1
+        h1 = ((h1 << 13) | (h1 >> 19)) & mask
+        h1 = (h1 * 5 + 0xE6546B64) & mask
+    h1 ^= n
+    h1 ^= h1 >> 16
+    h1 = h1 * 0x85EBCA6B & mask
+    h1 ^= h1 >> 13
+    h1 = h1 * 0xC2B2AE35 & mask
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
 
 
 def _overlaps(stats: dict | None, klo: str | None, khi: str | None) -> bool:
@@ -529,15 +484,15 @@ class SnapshotTable:
         )
 
     def bucket_for_key(self, conv_id: str) -> int:
-        """Bucket id of one conv_id — the same ``pmod(xxhash64(conv_id),
+        """Bucket id of one conv_id — the same ``pmod(hash(conv_id),
         n_buckets)`` the writer routes by, computed driver-side with zero
-        Spark jobs (:func:`xxhash64_bytes` is the JVM-parity twin).
+        Spark jobs (:func:`murmur3_hash_bytes` is the JVM-parity twin).
 
-        STRING keys only: Spark's ``xxhash64`` of a non-string column
+        STRING keys only: Spark's ``hash`` of a non-string column
         hashes its native binary encoding, not the decimal string — so
         this inverse (and the pruning built on it) is gated on the
         table's conv_id field being StringType (see :meth:`read`)."""
-        return xxhash64_bytes(str(conv_id).encode()) % self.n_buckets
+        return murmur3_hash_bytes(str(conv_id).encode()) % self.n_buckets
 
     def _pruned_key_paths(
         self, snap: Snapshot, conv_ids: list[str]
@@ -610,7 +565,7 @@ class SnapshotTable:
                 paths, any_deltas = self._pruned_key_paths(snap, keys)
                 orig_keys = keys  # string column: compare str() forms
             else:
-                # non-string key: the driver-side xxhash64 inverse hashes
+                # non-string key: the driver-side murmur3 twin hashes
                 # the STRING bytes, which diverges from the writer's
                 # native-typed routing — pruning would scan the wrong
                 # bucket and silently return nothing. Fall back to the
@@ -653,35 +608,37 @@ class SnapshotTable:
 
     # -------------------------------------------------------------- write
     def bucket_expr(self) -> F.Column:
-        return F.pmod(F.xxhash64(F.col("conv_id")), F.lit(self.n_buckets)).cast("int")
+        """Bucket id = ``pmod(hash(conv_id), n_buckets)`` — exactly Spark's
+        own HashPartitioning placement for ``repartition(n_buckets,
+        conv_id)``. That identity is the r7 merge-path optimization: one
+        explicit repartition on conv_id IS the bucket routing (partition
+        index == bucket id, no inverse-hash column) AND satisfies the LWW
+        aggregation's (conv_id, turn_idx) clustering requirement, so the
+        merge reduce+route runs on a single exchange of the payload."""
+        return F.pmod(F.hash(F.col("conv_id")), F.lit(self.n_buckets)).cast("int")
 
     _bucket_col = bucket_expr
 
-    def _route_expr(self) -> F.Column:
-        # cached per instance: building the 2n-literal map costs ~100ms of
-        # py4j round-trips, which would land on every batch's serial path
-        cached = getattr(self, "_route_col", None)
-        if cached is None:
-            rm = route_map(self.n_buckets)
-            pairs = []
-            for b in range(self.n_buckets):
-                pairs += [F.lit(b), F.lit(rm[b])]
-            cached = F.element_at(F.create_map(*pairs), F.col("_b"))
-            self._route_col = cached
-        return cached
+    def _partition_by_bucket(self, df: DataFrame) -> DataFrame:
+        """Shuffle ``df`` so partition index == bucket id (see
+        :meth:`bucket_expr`). AQE never coalesces an explicit
+        ``repartition(n, col)`` (REPARTITION_BY_NUM), so the mapping
+        holds, and a following groupBy on (conv_id, ...) reuses this
+        exchange instead of adding its own."""
+        return df.repartition(self.n_buckets, F.col("conv_id"))
 
-    def _write_bucketed(self, df: DataFrame, data_dir: str) -> dict[int, list[str]]:
-        """Flat parquet write where shuffle partition b == bucket b (via the
-        ``_route`` inverse-hash column), so file index == bucket id. Returns
-        bucket -> new file paths. AQE never coalesces an explicit
-        ``repartition(n, col)`` (REPARTITION_BY_NUM), so the mapping holds."""
-        (
-            df.withColumn("_route", self._route_expr())
-            .repartition(self.n_buckets, F.col("_route"))
-            .drop("_route")
-            .write.mode("errorifexists")
-            .parquet(data_dir)
-        )
+    def _write_bucketed(
+        self, df: DataFrame, data_dir: str, routed: bool = False
+    ) -> dict[int, list[str]]:
+        """Flat parquet write where shuffle partition b == bucket b, so
+        file index == bucket id. Returns bucket -> new file paths.
+        ``routed=True`` promises ``df`` is already partitioned by
+        :meth:`_partition_by_bucket` (e.g. the merge reducer's output,
+        whose aggregation preserved that exchange) and skips the
+        shuffle."""
+        if not routed:
+            df = self._partition_by_bucket(df)
+        df.write.mode("errorifexists").parquet(data_dir)
         out: dict[int, list[str]] = {}
         for f in os.listdir(data_dir):
             if f.startswith("part-") and f.endswith(".parquet"):
@@ -899,9 +856,14 @@ class SnapshotTable:
         )
 
         # ---- reduce + write ----------------------------------------------
+        # the explicit bucket repartition BEFORE the reduce is the whole
+        # merge pipeline's only payload shuffle: it routes rows to their
+        # bucket partition AND satisfies the LWW groupBy's clustering
+        # requirement (conv_id is a prefix of the agg key), so the
+        # aggregate runs in place and the write needs no further exchange
         if use_delta:
             # in-batch LWW only: O(batch) write volume, table untouched
-            winner = self._lww_reduce(upd, payload_cols)
+            winner = self._lww_reduce(self._partition_by_bucket(upd), payload_cols)
         else:
             current = self._read_files(
                 snap, [p for ps in candidates.values() for p in ps]
@@ -909,14 +871,17 @@ class SnapshotTable:
             for f in new_fields:  # stored side lacks brand-new columns
                 current = current.withColumn(f.name, F.lit(None).cast(f.dataType))
             winner = self._lww_reduce(
-                current.select(*upd.columns).unionByName(upd), payload_cols
+                self._partition_by_bucket(
+                    current.select(*upd.columns).unionByName(upd)
+                ),
+                payload_cols,
             )
 
         timing = os.environ.get("SPARK_GRAFT_MERGE_TIMING")
         t_plan = time.time()
         new_version = snap.version + 1
         data_dir = self._new_data_dir(new_version)
-        by_bucket = self._write_bucketed(winner, data_dir)
+        by_bucket = self._write_bucketed(winner, data_dir, routed=True)
         t_write = time.time()
 
         new_buckets = dict(snap.buckets)
@@ -1076,12 +1041,14 @@ class SnapshotTable:
         if not paths:
             return snap.version
         payload_cols = [f.name for f in self.payload_schema(snap)]
-        df = self._lww_reduce(self._read_files(snap, paths), payload_cols)
+        df = self._lww_reduce(
+            self._partition_by_bucket(self._read_files(snap, paths)), payload_cols
+        )
         if drop_tombstones:
             df = df.filter(~F.col("_deleted"))
         new_version = snap.version + 1
         data_dir = self._new_data_dir(new_version)
-        by_bucket = self._write_bucketed(df, data_dir)
+        by_bucket = self._write_bucketed(df, data_dir, routed=True)
         new_buckets = dict(snap.buckets)
         new_deltas = {k: list(v) for k, v in snap.deltas.items()}
         for b in sel:

@@ -1,6 +1,6 @@
-"""SnapshotTable v2 layout invariants: one bucket per file (inverse-hash
-routing), per-file key stats + file-level merge pruning, merge-on-read
-deltas, collision-free commit dirs. Regression coverage for the round-1
+"""SnapshotTable v2 layout invariants: one bucket per file (partition
+index == pmod(hash(conv_id), n) == bucket id), per-file key stats +
+file-level merge pruning, merge-on-read deltas, collision-free commit dirs. Regression coverage for the round-1
 advice findings (co-hashed stale-row resurrection; concurrent-commit
 clobber)."""
 
@@ -15,8 +15,8 @@ from pyspark.sql import types as T
 
 from caterpillar_spark.sinks.snapshot_table import (
     SnapshotTable,
+    murmur3_hash_bytes,
     murmur3_hash_int,
-    route_map,
 )
 
 PAYLOAD = T.StructType(
@@ -80,12 +80,30 @@ def test_murmur3_python_matches_spark(spark):
         assert murmur3_hash_int(v) == got[v], v
 
 
-def test_route_map_inverts_hash_partitioning():
-    for n in (4, 8, 16, 32, 64):
-        rm = route_map(n)
-        assert sorted(rm) == list(range(n))
-        for b, r in rm.items():
-            assert murmur3_hash_int(r) % n == b
+def test_repartition_places_bucket_in_matching_partition(spark):
+    """``repartition(n, conv_id)`` must land every row whose
+    ``bucket_expr`` value is b in shuffle partition b — the identity the
+    r7 single-exchange merge write rests on (partition index == bucket
+    id with no inverse-hash routing column)."""
+    from pyspark.sql import functions as F
+
+    n = 16
+    df = spark.createDataFrame(
+        [(f"conv_{i:06d}",) for i in range(500)], "conv_id string"
+    )
+    placed = (
+        df.repartition(n, F.col("conv_id"))
+        .select(
+            "conv_id",
+            F.spark_partition_id().alias("pid"),
+            F.pmod(F.hash("conv_id"), F.lit(n)).cast("int").alias("b"),
+        )
+        .collect()
+    )
+    assert len(placed) == 500
+    for r in placed:
+        assert r["pid"] == r["b"], r
+        assert murmur3_hash_bytes(r["conv_id"].encode()) % n == r["b"], r
 
 
 def test_one_bucket_per_file(spark, tmp_path):
@@ -171,15 +189,16 @@ def test_file_pruning_bounds_write_amplification(spark, tmp_path):
     assert got["conv_000050"] == "v2"
 
 
-def test_xxhash64_python_matches_spark(spark):
-    """The pure-Python XXH64 must agree with F.xxhash64 on string columns
-    — point-lookup bucket routing rests on it (the read-side twin of the
-    murmur3 parity test above)."""
-    from caterpillar_spark.sinks.snapshot_table import xxhash64_bytes
-
+def test_murmur3_bytes_python_matches_spark(spark):
+    """The pure-Python Murmur3_x86_32-over-bytes must agree with F.hash
+    on string columns — point-lookup bucket routing rests on it (the
+    read-side twin of the int parity test above; covers aligned words,
+    every tail length, and multi-byte UTF-8)."""
     vals = [f"conv_{i:08d}" for i in range(50)] + [
         "",
         "a",
+        "ab",
+        "abc",
         "x" * 7,
         "y" * 8,
         "z" * 31,
@@ -190,11 +209,11 @@ def test_xxhash64_python_matches_spark(spark):
     got = {
         r["v"]: r["h"]
         for r in spark.createDataFrame([(v,) for v in vals], "v string")
-        .select("v", F.xxhash64("v").alias("h"))
+        .select("v", F.hash("v").alias("h"))
         .collect()
     }
     for v in vals:
-        assert xxhash64_bytes(v.encode()) == got[v], v
+        assert murmur3_hash_bytes(v.encode()) == got[v], v
 
 
 def test_point_lookup_read_prunes_to_one_buckets_files(spark, tmp_path):
