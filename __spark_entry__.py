@@ -125,10 +125,16 @@ def q_flatten(spark, sf_dir):
 
 
 def q_split_explode(spark, sf_dir):
+    from caterpillar_spark.operators import fan_out
     from caterpillar_spark.operators.text import split_explode
 
     docs = _t(spark, sf_dir, "documents")
-    words = split_explode(docs.select("text"), "text", " ", out="word")
+    # fan_out: the explode + per-word partial agg otherwise runs entirely
+    # in the single scan task (one-row-group input); measured 0.73->0.54s
+    # at sf1.0. The events-table aggregations deliberately do NOT fan out
+    # - their map-side partial agg beats paying a full-row exchange
+    # (measured 0.38->0.73s for cdc_lww_latest).
+    words = split_explode(fan_out(docs.select("text")), "text", " ", out="word")
     return (
         words.groupBy("word")
         .agg(F.count("*").alias("cnt"))

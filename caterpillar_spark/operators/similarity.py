@@ -192,8 +192,11 @@ def lsh_bucketed_topk(
         n_tables,
     )
     c = _multi_bucketed(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        fan_out(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+            ),
+            "neighbor_id",
         ),
         "cvec",
         n_planes,
@@ -369,8 +372,11 @@ def ivf_topk(
         )
 
     c_assigned = assign(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        fan_out(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+            ),
+            "neighbor_id",
         ),
         "neighbor_id",
         "cvec",
@@ -437,10 +443,15 @@ def cosine_neardup_pairs(
 
     if n_planes is None:
         n_planes = planes_for(_count())
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    base = fan_out(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "id"
+    )
     banded = _multi_bucketed(base, "v", n_planes, dim, n_tables)
     cap = resolve_cap(max_bucket, _count)
     if cap is not None:
+        # two consumers under the guard (size agg + kept join): persist so
+        # the SRP bucketing runs once per query (see minhash_lsh_pairs)
+        banded = banded.persist()
         banded, _ = drop_hot_buckets(banded, ["lsh_table", "lsh_bucket"], cap)
     left = banded.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"),
