@@ -236,6 +236,15 @@ def main() -> None:
     # a dirty round means the host is mid-throttle: wait longer before
     # burning another round into the same window
     ap.add_argument("--dirty-cooldown", type=int, default=300)
+    # pre-round ADMISSION gate (VERDICT r6 #2): record H burned
+    # prospective 0.852/0.801 rounds against dirty canaries because they
+    # STARTED inside throttle windows. Before each round, wait until the
+    # host probe recovers to --admit-frac of the robust probe reference
+    # (bounded by --admit-max-wait). Scoring is untouched — this only
+    # moves when a round starts, never how it is judged.
+    ap.add_argument("--admit-frac", type=float, default=0.85)
+    ap.add_argument("--admit-poll", type=int, default=60)
+    ap.add_argument("--admit-max-wait", type=int, default=900)
     # Zipf-hot record (VERDICT r4 #5): 0.1% of convs soak up 80% of the
     # update traffic — the skew-salting path's stress shape. Default
     # record keeps the generator's 1%/50% mild skew.
@@ -290,6 +299,24 @@ def main() -> None:
         for r in range(n_rounds):
             p_before = round(host_probe(), 1)
             print(f"round {r} host_probe(before)={p_before:.0f}", flush=True)
+            # admission: start rounds on health instead of only filtering
+            # on it afterwards (gate-round yield, not gate math)
+            if args.admit_frac > 0 and probes:
+                ref = _probe_reference(probes)
+                waited = 0
+                while (
+                    p_before < args.admit_frac * ref
+                    and waited < args.admit_max_wait
+                ):
+                    print(
+                        f"round {r} admission: probe {p_before:.0f} < "
+                        f"{args.admit_frac:.2f}*ref({ref:.0f}) — waiting "
+                        f"{args.admit_poll}s",
+                        flush=True,
+                    )
+                    time.sleep(args.admit_poll)
+                    waited += args.admit_poll
+                    p_before = round(host_probe(), 1)
             a, b = (hi, lo) if r % 2 == 0 else (lo, hi)
             # run a, run b, ceil a, ceil b, run a, run b — each level's
             # duplicates bracket the other level's runs AND the ceilings
