@@ -51,14 +51,20 @@ class AuthBehavior:
             raise ValueError(f"unknown behavior: {self.behavior}")
 
     def allows(self, headers, client_ip: str) -> bool:
+        # compare_digest on str raises TypeError for non-ASCII input; the
+        # reference never errors (auth.go:55-73), so compare UTF-8 bytes.
+        def _eq(a: str, b: str) -> bool:
+            return hmac.compare_digest(a.encode("utf-8"), b.encode("utf-8"))
+
         if self.behavior == "api-key":
             return all(
-                hmac.compare_digest(headers.get(k) or "", v)
-                for k, v in self.headers.items()
+                _eq(headers.get(k) or "", v) for k, v in self.headers.items()
             )
         if self.behavior == "ip-whitelist":
             xff = headers.get("X-Forwarded-For") or ""
-            ip = xff.split(",")[0].strip() if xff.strip() else client_ip
+            # empty first XFF entry (", 10.0.0.7") falls back to the socket
+            # peer, matching getClientIP (auth.go:104-125)
+            ip = (xff.split(",")[0].strip() if xff.strip() else "") or client_ip
             return ip in set(self.whitelist_ips)
         auth = headers.get("Authorization") or ""
         if not auth.startswith("Basic "):
@@ -70,9 +76,7 @@ class AuthBehavior:
             return False
         if not _:  # no colon: not a credential pair (auth.go:96-99)
             return False
-        return hmac.compare_digest(user, self.username) and hmac.compare_digest(
-            pw, self.password
-        )
+        return _eq(user, self.username) and _eq(pw, self.password)
 
 
 class WebhookSpool:

@@ -206,6 +206,13 @@ def decode_message(data: bytes, spec: dict[int, PField], *, strict: bool = False
             pos = _skip(data, pos, wtype)
             continue
         if f.ptype == "message":
+            if wtype != _WIRE_LEN:
+                # mirror _decode_scalar's mismatch error: a VARINT-typed
+                # record for a declared-LEN field must not be misread as a
+                # byte length (silent garbage on schema drift)
+                raise ValueError(
+                    f"{f.name}: wire type {wtype} for message field (want LEN)"
+                )
             ln, pos = _read_varint(data, pos)
             if pos + ln > n:
                 raise ValueError(f"{f.name}: truncated message")
@@ -219,6 +226,10 @@ def decode_message(data: bytes, spec: dict[int, PField], *, strict: bool = False
                 out[f.name] = val
             continue
         if f.ptype in ("string", "bytes"):
+            if wtype != _WIRE_LEN:
+                raise ValueError(
+                    f"{f.name}: wire type {wtype} for {f.ptype} field (want LEN)"
+                )
             ln, pos = _read_varint(data, pos)
             if pos + ln > n:
                 raise ValueError(f"{f.name}: truncated {f.ptype}")
@@ -324,6 +335,18 @@ def _scalar_default(f: PField):
     return 0
 
 
+def _shortest_float32(v: float) -> float:
+    """Shortest decimal that round-trips to the same float32 bit pattern —
+    protojson emits 0.1f as 0.1, not the double repr of its bit pattern
+    (0.10000000149011612)."""
+    bits = struct.pack("<f", v)
+    for p in range(1, 10):
+        cand = float(f"{v:.{p}g}")
+        if struct.pack("<f", cand) == bits:
+            return cand
+    return v
+
+
 def _json_value(f: PField, val, use_proto_names: bool, emit_unpopulated: bool):
     if f.ptype == "message":
         return to_protojson(
@@ -339,7 +362,7 @@ def _json_value(f: PField, val, use_proto_names: bool, emit_unpopulated: bool):
             return "NaN"
         if math.isinf(v):
             return "Infinity" if v > 0 else "-Infinity"
-        return v
+        return _shortest_float32(v) if f.ptype == "float" else v
     if f.ptype == "enum" and f.names:
         return f.names.get(int(val), int(val))
     return val
@@ -446,17 +469,24 @@ def encode_protobuf_rows(
     one wire-format binary column (plus any ``keep`` passthrough columns).
     Same scale shape as the decoder: Arrow-batched, per-row independent,
     zero shuffle. ``None`` cells encode as absent fields (proto3 implicit
-    presence)."""
+    presence). Arrow->pandas represents a null long/double cell as float64
+    NaN, not None, so NaN cells also encode as absent — which makes a
+    *genuine* NaN double unrepresentable via this path (it would otherwise
+    either crash ``int(NaN)`` for varint fields or silently break the
+    None-is-absent contract)."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     names = [spec[k].name for k in sorted(spec)]
 
+    def _absent(v) -> bool:
+        return v is None or (isinstance(v, float) and math.isnan(v))
+
     @F.pandas_udf(T.BinaryType())
     def _enc(*cols: pd.Series) -> pd.Series:
         out = []
         for vals in zip(*cols):
-            rec = {n: v for n, v in zip(names, vals) if v is not None}
+            rec = {n: v for n, v in zip(names, vals) if not _absent(v)}
             out.append(encode_message(rec, spec))
         return pd.Series(out, dtype=object)
 

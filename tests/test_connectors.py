@@ -749,3 +749,29 @@ def test_queue_redelivery_is_exactly_once_through_ledger(spark, tmp_path):
     assert skipped >= 1, "redelivered batch must be ledger-skipped"
     got = sorted((r["conv_id"], r["text"]) for r in tbl.read().collect())
     assert got == [("c0", "t3"), ("c1", "t4"), ("c2", "t5")]
+
+
+def test_webhook_auth_edge_cases_unit():
+    """r6 ADVICE parity edges: an empty first X-Forwarded-For entry falls
+    back to the socket peer (getClientIP, auth.go:104-125), and non-ASCII
+    credentials compare constant-time without raising (the reference
+    compares plain strings and never errors; a TypeError here would 500
+    instead of 401)."""
+    import base64
+
+    from caterpillar_spark.sources.http_server import AuthBehavior
+
+    ipauth = AuthBehavior("ip-whitelist", whitelist_ips=("10.0.0.7",))
+    # ", 10.0.0.7": first entry empty -> socket peer is the client
+    assert ipauth.allows({"X-Forwarded-For": ", 10.0.0.7"}, "10.0.0.7")
+    assert not ipauth.allows({"X-Forwarded-For": ", 10.0.0.7"}, "8.8.8.8")
+
+    basic = AuthBehavior("basic-auth", username="ülrich", password="päss")
+    tok = base64.b64encode("ülrich:päss".encode()).decode()
+    assert basic.allows({"Authorization": f"Basic {tok}"}, "127.0.0.1")
+    bad = base64.b64encode("ülrich:wröng".encode()).decode()
+    assert not basic.allows({"Authorization": f"Basic {bad}"}, "127.0.0.1")
+
+    key = AuthBehavior("api-key", headers={"X-Api-Key": "ключ"})
+    assert key.allows({"X-Api-Key": "ключ"}, "127.0.0.1")
+    assert not key.allows({"X-Api-Key": "wrong"}, "127.0.0.1")

@@ -192,3 +192,67 @@ def test_decode_protobuf_rows_spark(spark):
         [(None,)], T.StructType([T.StructField("data", T.BinaryType())])
     )
     assert decode_protobuf_rows(dfn, "data", EVENT_SPEC).collect()[0].record is None
+
+
+def test_len_field_wire_type_mismatch_raises():
+    """A VARINT-typed record for a declared LEN field (string/bytes/message)
+    must error like _decode_scalar's mismatch, not misread the varint value
+    as a byte length (silent garbage decode on schema drift)."""
+    varint_rec = encode_message({"a": 150}, INT_SPEC)  # field 1, wtype VARINT
+    with pytest.raises(ValueError, match="wire type"):
+        decode_message(varint_rec, {1: PField("s", "string")})
+    with pytest.raises(ValueError, match="wire type"):
+        decode_message(varint_rec, {1: PField("b", "bytes")})
+    with pytest.raises(ValueError, match="wire type"):
+        decode_message(varint_rec, {1: PField("m", "message", fields=INT_SPEC)})
+
+
+def test_protojson_float32_shortest_repr():
+    """protojson emits the shortest decimal that round-trips at float32
+    precision: 0.1f renders as 0.1, not 0.10000000149011612."""
+    spec = {1: PField("f", "float")}
+    for orig in (0.1, 1.0 / 3.0, 2.5, -7.25e-3, 3.4e38):
+        f32 = struct.unpack("<f", struct.pack("<f", orig))[0]
+        dec = decode_message(encode_message({"f": orig}, spec), spec)
+        assert dec["f"] == f32  # decode stays bit-exact (double widening)
+        j = to_protojson(dec, spec)["f"]
+        # shortest: re-narrowing the emitted decimal recovers the same bits
+        assert struct.pack("<f", j) == struct.pack("<f", f32)
+        assert len(repr(j)) <= len(repr(f32))
+    assert to_protojson(decode_message(encode_message({"f": 0.1}, spec), spec), spec)["f"] == 0.1
+
+
+def test_encode_rows_null_cells_encode_absent(spark):
+    """Arrow->pandas hands null long/double cells to the encode UDF as
+    float64 NaN, not None: they must encode as absent fields (proto3
+    implicit presence), not crash int(NaN) or emit a NaN double."""
+    from pyspark.sql import types as T
+
+    from caterpillar_spark.sources.protowire import encode_protobuf_rows
+
+    spec = {
+        1: PField("a", "int64"),
+        2: PField("s", "sint64"),
+        3: PField("d", "double"),
+        4: PField("t", "string"),
+    }
+    schema = T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField("s", T.LongType()),
+            T.StructField("d", T.DoubleType()),
+            T.StructField("t", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, -2, 0.5, "x"), (None, None, None, None), (3, None, 1.5, None)],
+        schema,
+    )
+    blobs = [r.data for r in encode_protobuf_rows(df, spec).collect()]
+    got = sorted(
+        (decode_message(b, spec) for b in blobs),
+        key=lambda d: d.get("a", -1),
+    )
+    assert got[0] == {}  # all-null row -> empty message
+    assert got[1] == {"a": 1, "s": -2, "d": 0.5, "t": "x"}
+    assert got[2] == {"a": 3, "d": 1.5}
