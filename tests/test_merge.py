@@ -288,3 +288,24 @@ def test_apply_changes_null_key_group_stats(spark, tmp_path):
     res = apply_changes(events, tbl, batch_id=0)  # offset_range=None path
     assert res.snapshot_version >= 1
     assert tbl.read().count() >= 1
+
+
+def test_merge_column_cache_reused_across_batches_and_handles(spark, tmp_path):
+    """r7 serial-share shave: the observe/LWW/projection Column lists are
+    built once per (applicationId, shape) and reused across batches AND
+    table handles — rebuilding them was ~0.25s/batch of pure py4j driver-
+    serial cost. Reuse must not change results (covered by the replay
+    assertions here) and the cache must not grow per batch."""
+    chunks = write_changelog_chunks(spark, SPEC, str(tmp_path / "log"), n_chunks=3)
+    tbl = SnapshotTable(spark, str(tmp_path / "t"), n_buckets=16).create(PAYLOAD)
+    replay_chunks(spark, chunks, tbl)
+    app = spark.sparkContext.applicationId
+    kinds = {k[1] for k in SnapshotTable._col_cache if k[0] == app}
+    assert {"observe_metrics", "merge_sys_cols", "lww_agg", "lww_sel"} <= kinds
+    n_entries = len(SnapshotTable._col_cache)
+    # same shapes through a second handle + table: zero new cache entries,
+    # identical final state
+    tbl2 = SnapshotTable(spark, str(tmp_path / "t2"), n_buckets=16).create(PAYLOAD)
+    replay_chunks(spark, chunks, tbl2)
+    assert len(SnapshotTable._col_cache) == n_entries
+    assert _final_state_canon(tbl2.read()) == _expected_canon(spark, SPEC)
